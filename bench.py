@@ -1,0 +1,186 @@
+"""Benchmark: ISSL off-target scoring throughput (guides/s/chip) vs the
+reference C++ scorer on the same inputs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Setup (cached under bench_data/): a deterministic synthetic genome is
+scanned for off-target sites (reference extraction semantics), an ISSL
+index is built (l=20, w=8), and candidate guides from the same genome are
+scored with method=and, threshold=75, maxDist=4 — the reference defaults
+(config.ini:100,117,121).
+
+The baseline is the reference ``isslScoreOfftargets`` binary compiled -O3
+-fopenmp on this host, timed on the same index/queries with process load
+time removed via a two-size run (rate = (t(2N) - t(N)) / N).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent
+DATA = ROOT / "bench_data"
+REFERENCE = Path("/root/reference")
+
+GENOME_MBP = int(os.environ.get("BENCH_GENOME_MBP", "20"))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "4096"))
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def ensure_ref_binaries():
+    out = DATA / "refbin"
+    out.mkdir(parents=True, exist_ok=True)
+    for name in ("isslCreateIndex", "isslScoreOfftargets"):
+        binpath = out / name
+        if not binpath.exists():
+            log(f"compiling reference {name}")
+            subprocess.run(
+                ["g++", "-O3", "-std=c++11", "-fopenmp", "-mpopcnt",
+                 f"-I{REFERENCE}/src/ISSL/include", "-o", str(binpath),
+                 str(REFERENCE / "src" / "ISSL" / f"{name}.cpp")],
+                check=True, capture_output=True,
+            )
+    return out
+
+
+def ensure_dataset():
+    """Synthetic genome -> site list/index/queries, cached on disk."""
+    tag = f"g{GENOME_MBP}m"
+    index_npz = DATA / f"{tag}.index.npz"
+    issl = DATA / f"{tag}.issl"
+    qfile = DATA / f"{tag}.queries.txt"
+    if index_npz.exists() and issl.exists() and qfile.exists():
+        return index_npz, issl, qfile
+
+    from crackling_tpu.codec import sigs_to_strings
+    from crackling_tpu.index import (build_index, extract_offtarget_sites,
+                                     encode_seq, find_candidate_guides,
+                                     save_native, write_reference_issl)
+
+    DATA.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(20260816)
+    n = GENOME_MBP * 1_000_000
+    log(f"generating {GENOME_MBP} Mbp synthetic genome")
+    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n)
+    codes = encode_seq(genome, to_upper=False)
+    log("extracting off-target sites")
+    t0 = time.time()
+    sites = extract_offtarget_sites(codes)
+    log(f"  {len(sites):,} sites in {time.time() - t0:.1f}s")
+    log("building ISSL index")
+    t0 = time.time()
+    index = build_index(sites, seq_length=20, slice_width=8)
+    log(f"  {index.num_sites:,} distinct sites in {time.time() - t0:.1f}s")
+    save_native(index, str(index_npz))
+    write_reference_issl(index, str(issl))
+
+    log("extracting candidate guides for queries")
+    _, _, cand = find_candidate_guides(codes[: 4 * N_QUERIES * 30])
+    queries = np.unique(cand & np.uint64((1 << 40) - 1))
+    rng.shuffle(queries)
+    queries = queries[:N_QUERIES]
+    qfile.write_text("".join(s + "\n" for s in sigs_to_strings(queries, 20)))
+    return index_npz, issl, qfile
+
+
+def time_reference(refbin, issl, qfile, queries):
+    """Scoring rate of the C++ binary with load time removed."""
+    double_q = DATA / "queries2x.txt"
+    double_q.write_text(qfile.read_text() * 2)
+
+    def run_once(qf):
+        t0 = time.time()
+        subprocess.run(
+            [str(refbin / "isslScoreOfftargets"), str(issl), str(qf),
+             "4", "75", "and"],
+            check=True, capture_output=True,
+        )
+        return time.time() - t0
+
+    run_once(qfile)  # warm page cache
+    t1 = min(run_once(qfile) for _ in range(2))
+    t2 = min(run_once(double_q) for _ in range(2))
+    dt = max(t2 - t1, 1e-9)
+    rate = len(queries) / dt
+    log(f"reference: t(N)={t1:.2f}s t(2N)={t2:.2f}s -> {rate:,.0f} guides/s")
+    return rate
+
+
+def time_ours(index_npz, queries):
+    import jax
+
+    from crackling_tpu.index import load_native
+
+    log(f"jax devices: {jax.devices()}")
+    index = load_native(str(index_npz))
+
+    engine = os.environ.get("BENCH_ENGINE", "auto")
+    scorer = None
+    if engine in ("auto", "pallas"):
+        try:
+            from crackling_tpu.ops.issl_pallas import PallasIsslScorer
+
+            scorer = PallasIsslScorer(index, max_dist=4)
+            log("engine: pallas")
+        except Exception as e:
+            if engine == "pallas":
+                raise
+            log(f"pallas engine unavailable ({e}); falling back to XLA engine")
+    if scorer is None:
+        from crackling_tpu.ops.issl_jax import IsslScorer
+
+        scorer = IsslScorer(index, max_dist=4, method="and", threshold=75.0,
+                            query_block=512, work_block=1 << 17)
+        log("engine: xla")
+
+    log("compiling + warmup")
+    scorer.score(queries[:32])
+    t0 = time.time()
+    mit, cfd = scorer.score(queries)
+    dt = time.time() - t0
+    rate = len(queries) / dt
+    log(f"ours: {dt:.2f}s -> {rate:,.0f} guides/s")
+    return rate, mit, cfd
+
+
+def main():
+    refbin = ensure_ref_binaries()
+    index_npz, issl, qfile = ensure_dataset()
+    queries_txt = qfile.read_text().split()
+    from crackling_tpu.codec import strings_to_sigs
+
+    queries = strings_to_sigs(queries_txt, 20)
+
+    ours_rate, mit, cfd = time_ours(index_npz, queries)
+    ref_rate = time_reference(refbin, issl, qfile, queries)
+
+    # correctness spot check against the reference output
+    out = subprocess.run(
+        [str(refbin / "isslScoreOfftargets"), str(issl), str(qfile),
+         "4", "75", "and"],
+        check=True, capture_output=True, text=True,
+    )
+    lines = out.stdout.strip().split("\n")
+    ref_mit = np.array([float(l.split("\t")[1]) for l in lines])
+    n_check = min(len(ref_mit), len(mit))
+    agree = np.mean(np.abs(mit[:n_check] - ref_mit[:n_check]) < 2e-2)
+    log(f"score agreement (|dMIT|<0.02): {agree:.4f}")
+
+    print(json.dumps({
+        "metric": "issl_offtarget_scoring_throughput",
+        "value": round(ours_rate, 2),
+        "unit": "guides/s/chip",
+        "vs_baseline": round(ours_rate / ref_rate, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,170 @@ def _two_sum(hi, lo, x):
     return s, lo + err
 
 
+from typing import NamedTuple
+
+
+class ScorerConfig(NamedTuple):
+    """Static (hashable) parameters of the scoring program."""
+
+    slice_count: int
+    slice_width: int
+    work_block: int
+    max_dist: int
+    npad: int
+    pam_ngg: float
+    dtype: str
+    method: str | None
+    maximum_sum: float | None
+
+
+def score_page_core(cfg: ScorerConfig, q_lo, q_hi, q_valid, list_lo, list_hi,
+                    list_occ, bucket_offsets, pos_pen_flat):
+    """Score one padded page of queries against one index (shard).
+
+    Pure function of its array arguments + the static ``cfg`` — jitted
+    directly for single-device use and wrapped in ``shard_map`` for the
+    index-sharded multi-chip path (parallel/sharded.py). Returns raw
+    (mit_sum, cfd_sum) accumulations of shape (Q,).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    Q = q_lo.shape[0]
+    S = cfg.slice_count
+    W = cfg.work_block
+    w_bits = cfg.slice_width
+    bmask = jnp.uint32((1 << w_bits) - 1)
+
+    # --- work plan: one segment per (query, slice) -----------------
+    def slice_val(s):
+        shift = s * w_bits
+        if shift < 32:
+            v = (q_lo >> jnp.uint32(shift)) & bmask
+        else:
+            v = (q_hi >> jnp.uint32(shift - 32)) & bmask
+        return v.astype(jnp.int32)
+
+    # (Q, S) bucket ids -> starts/lens from CSR offsets
+    vals = jnp.stack([slice_val(s) for s in range(S)], axis=1)
+    s_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (Q, S))
+    starts = bucket_offsets[s_idx, vals]
+    lens = bucket_offsets[s_idx, vals + 1] - starts
+    lens = jnp.where(q_valid[:, None], lens, 0)  # padded queries do no work
+    seg_bucket_start = starts.reshape(-1)       # (Q*S,)
+    seg_lens = lens.reshape(-1).astype(jnp.int32)
+    seg_cum = jnp.cumsum(seg_lens)              # inclusive
+    seg_work_start = seg_cum - seg_lens
+    total = seg_cum[-1]
+    nrounds = (total + W - 1) // W
+
+    def exit_cond(mit_tot, cfd_tot):
+        """Reference early-exit predicate on the running sums
+        (isslScoreOfftargets.cpp:467-496)."""
+        ms = jnp.asarray(cfg.maximum_sum, dtype)
+        m = cfg.method
+        if m == "and":
+            return (mit_tot > ms) & (cfd_tot > ms)
+        if m == "or":
+            return (mit_tot > ms) | (cfd_tot > ms)
+        if m == "avg":
+            return (mit_tot + cfd_tot) / 2.0 > ms
+        if m == "mit":
+            return mit_tot > ms
+        return cfd_tot > ms
+
+    def round_body(r, acc):
+        mit_hi, mit_lo, cfd_hi, cfd_lo, crossed = acc
+        w = r * W + jnp.arange(W, dtype=jnp.int32)
+        inb = w < total
+        seg = _searchsorted_right(seg_cum, w).astype(jnp.int32)
+        seg = jnp.minimum(seg, Q * S - 1)
+        q = seg // S
+        s = seg - q * S
+        entry = seg_bucket_start[seg] + (w - seg_work_start[seg])
+        flat = s * cfg.npad + entry
+        o_lo = list_lo[flat]
+        o_hi = list_hi[flat]
+        occ = list_occ[flat].astype(dtype)
+
+        ql = q_lo[q]
+        qh = q_hi[q]
+        x_lo = ql ^ o_lo
+        x_hi = qh ^ o_hi
+        mm20, dist = _mismatch_bits(x_lo, x_hi)
+
+        # first-clean-slice dedup: slice s' clean iff its XOR bits are 0
+        bases_per_slice = w_bits // 2
+        smask = jnp.uint32((1 << bases_per_slice) - 1)
+        clean = jnp.zeros_like(mm20)
+        for sp in range(S):
+            c = ((mm20 >> jnp.uint32(sp * bases_per_slice)) & smask) == 0
+            clean = clean | (c.astype(jnp.uint32) << jnp.uint32(sp))
+        earlier_mask = (jnp.uint32(1) << s.astype(jnp.uint32)) - jnp.uint32(1)
+        seen_earlier = (clean & earlier_mask) != 0
+
+        valid = inb & (dist <= cfg.max_dist) & (~seen_earlier)
+
+        mit_local = _mit_closed_form(mm20, dist, dtype)
+        cfd_local = _cfd_product(
+            ql, qh, o_lo, o_hi, dist, pos_pen_flat, cfg.pam_ngg, dtype
+        )
+        vf = valid.astype(dtype) * occ
+        mit_c = mit_local * vf          # dist==0 contributes 0 (closed form)
+        cfd_c = cfd_local * vf
+
+        if cfg.maximum_sum is not None:
+            # Exact exit emulation. Work items for one query arrive in
+            # reference scan order (slice-major, bucket order), so the
+            # first item whose *previous* running sums satisfy the exit
+            # predicate — and everything after it — is dropped, freezing
+            # the totals exactly where the reference breaks.
+            cs_mit = jnp.cumsum(mit_c)
+            cs_cfd = jnp.cumsum(cfd_c)
+            all_mit_q = jax.ops.segment_sum(mit_c, q, num_segments=Q)
+            all_cfd_q = jax.ops.segment_sum(cfd_c, q, num_segments=Q)
+            base_mit = (jnp.cumsum(all_mit_q) - all_mit_q)[q]
+            base_cfd = (jnp.cumsum(all_cfd_q) - all_cfd_q)[q]
+            prev_mit = (mit_hi + mit_lo)[q] + (cs_mit - mit_c - base_mit)
+            prev_cfd = (cfd_hi + cfd_lo)[q] + (cs_cfd - cfd_c - base_cfd)
+            drop = crossed[q] | exit_cond(prev_mit, prev_cfd)
+            keepf = jnp.where(drop, jnp.zeros_like(mit_c), jnp.ones_like(mit_c))
+            mit_c = mit_c * keepf
+            cfd_c = cfd_c * keepf
+
+        mit_part = jax.ops.segment_sum(mit_c, q, num_segments=Q)
+        cfd_part = jax.ops.segment_sum(cfd_c, q, num_segments=Q)
+        mit_hi, mit_lo = _two_sum(mit_hi, mit_lo, mit_part)
+        cfd_hi, cfd_lo = _two_sum(cfd_hi, cfd_lo, cfd_part)
+        if cfg.maximum_sum is not None:
+            crossed = crossed | exit_cond(mit_hi + mit_lo, cfd_hi + cfd_lo)
+        return mit_hi, mit_lo, cfd_hi, cfd_lo, crossed
+
+    # derive the init carry from both query- and index-varying inputs so
+    # shard_map's manual-axes typing matches the loop outputs (plain zeros
+    # would be axis-invariant and reject the carry)
+    zeros = (q_lo & jnp.uint32(0)).astype(dtype) + (list_occ[0] * 0).astype(dtype)
+    init = (zeros, zeros, zeros, zeros, zeros != 0)
+
+    if cfg.maximum_sum is not None:
+        # while-loop so the page stops as soon as every live query has
+        # exited (the vectorized analogue of the reference's break).
+        def cond(state):
+            r, acc = state
+            return (r < nrounds) & ~jnp.all(acc[4] | ~q_valid)
+
+        def body(state):
+            r, acc = state
+            return r + 1, round_body(r, acc)
+
+        _, (mit_hi, mit_lo, cfd_hi, cfd_lo, _) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init)
+        )
+    else:
+        mit_hi, mit_lo, cfd_hi, cfd_lo, _ = jax.lax.fori_loop(
+            0, nrounds, round_body, init
+        )
+    return mit_hi + mit_lo, cfd_hi + cfd_lo
+
+
 class IsslScorer:
     """Batched ISSL off-target scorer resident on one device.
 
@@ -205,147 +369,20 @@ class IsslScorer:
         self.bucket_offsets = put(arrs["bucket_offsets"])  # (S, B+1) int32
         self.pos_pen_flat = put(cfd_pos_penalties().reshape(-1).astype(self.dtype))
         self.pam_ngg = float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX])
+        self.cfg = ScorerConfig(
+            slice_count=self.slice_count,
+            slice_width=self.slice_width,
+            work_block=self.work_block,
+            max_dist=self.max_dist,
+            npad=npad,
+            pam_ngg=self.pam_ngg,
+            dtype=str(self.dtype),
+            method=self.method,
+            maximum_sum=self.maximum_sum,
+        )
         # Index arrays are passed as jit *arguments* (not captured constants)
         # so the multi-GB index is never embedded in the HLO.
-        self._score_page = jax.jit(self._score_page_impl)
-
-    # ------------------------------------------------------------------
-
-    def _score_page_impl(self, q_lo, q_hi, q_valid, list_lo, list_hi,
-                         list_occ, bucket_offsets, pos_pen_flat):
-        """Score one padded page of queries; returns (mit_sum, cfd_sum)."""
-        Q = q_lo.shape[0]
-        S = self.slice_count
-        W = self.work_block
-        w_bits = self.slice_width
-        bmask = jnp.uint32((1 << w_bits) - 1)
-
-        # --- work plan: one segment per (query, slice) -----------------
-        def slice_val(s):
-            shift = s * w_bits
-            if shift < 32:
-                v = (q_lo >> jnp.uint32(shift)) & bmask
-            else:
-                v = (q_hi >> jnp.uint32(shift - 32)) & bmask
-            return v.astype(jnp.int32)
-
-        # (Q, S) bucket ids -> starts/lens from CSR offsets
-        vals = jnp.stack([slice_val(s) for s in range(S)], axis=1)
-        s_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (Q, S))
-        starts = bucket_offsets[s_idx, vals]
-        lens = bucket_offsets[s_idx, vals + 1] - starts
-        lens = jnp.where(q_valid[:, None], lens, 0)  # padded queries do no work
-        seg_bucket_start = starts.reshape(-1)       # (Q*S,)
-        seg_lens = lens.reshape(-1).astype(jnp.int32)
-        seg_cum = jnp.cumsum(seg_lens)              # inclusive
-        seg_work_start = seg_cum - seg_lens
-        total = seg_cum[-1]
-        nrounds = (total + W - 1) // W
-
-        def exit_cond(mit_tot, cfd_tot):
-            """Reference early-exit predicate on the running sums
-            (isslScoreOfftargets.cpp:467-496)."""
-            ms = jnp.asarray(self.maximum_sum, self.dtype)
-            m = self.method
-            if m == "and":
-                return (mit_tot > ms) & (cfd_tot > ms)
-            if m == "or":
-                return (mit_tot > ms) | (cfd_tot > ms)
-            if m == "avg":
-                return (mit_tot + cfd_tot) / 2.0 > ms
-            if m == "mit":
-                return mit_tot > ms
-            return cfd_tot > ms
-
-        def round_body(r, acc):
-            mit_hi, mit_lo, cfd_hi, cfd_lo, crossed = acc
-            w = r * W + jnp.arange(W, dtype=jnp.int32)
-            inb = w < total
-            seg = _searchsorted_right(seg_cum, w).astype(jnp.int32)
-            seg = jnp.minimum(seg, Q * S - 1)
-            q = seg // S
-            s = seg - q * S
-            entry = seg_bucket_start[seg] + (w - seg_work_start[seg])
-            flat = s * self._npad + entry
-            o_lo = list_lo[flat]
-            o_hi = list_hi[flat]
-            occ = list_occ[flat].astype(self.dtype)
-
-            ql = q_lo[q]
-            qh = q_hi[q]
-            x_lo = ql ^ o_lo
-            x_hi = qh ^ o_hi
-            mm20, dist = _mismatch_bits(x_lo, x_hi)
-
-            # first-clean-slice dedup: slice s' clean iff its XOR bits are 0
-            bases_per_slice = w_bits // 2
-            smask = jnp.uint32((1 << bases_per_slice) - 1)
-            clean = jnp.zeros_like(mm20)
-            for sp in range(S):
-                c = ((mm20 >> jnp.uint32(sp * bases_per_slice)) & smask) == 0
-                clean = clean | (c.astype(jnp.uint32) << jnp.uint32(sp))
-            earlier_mask = (jnp.uint32(1) << s.astype(jnp.uint32)) - jnp.uint32(1)
-            seen_earlier = (clean & earlier_mask) != 0
-
-            valid = inb & (dist <= self.max_dist) & (~seen_earlier)
-
-            mit_local = _mit_closed_form(mm20, dist, self.dtype)
-            cfd_local = _cfd_product(
-                ql, qh, o_lo, o_hi, dist, pos_pen_flat, self.pam_ngg, self.dtype
-            )
-            vf = valid.astype(self.dtype) * occ
-            mit_c = mit_local * vf          # dist==0 contributes 0 (closed form)
-            cfd_c = cfd_local * vf
-
-            if self.maximum_sum is not None:
-                # Exact exit emulation. Work items for one query arrive in
-                # reference scan order (slice-major, bucket order), so the
-                # first item whose *previous* running sums satisfy the exit
-                # predicate — and everything after it — is dropped, freezing
-                # the totals exactly where the reference breaks.
-                cs_mit = jnp.cumsum(mit_c)
-                cs_cfd = jnp.cumsum(cfd_c)
-                all_mit_q = jax.ops.segment_sum(mit_c, q, num_segments=Q)
-                all_cfd_q = jax.ops.segment_sum(cfd_c, q, num_segments=Q)
-                base_mit = (jnp.cumsum(all_mit_q) - all_mit_q)[q]
-                base_cfd = (jnp.cumsum(all_cfd_q) - all_cfd_q)[q]
-                prev_mit = (mit_hi + mit_lo)[q] + (cs_mit - mit_c - base_mit)
-                prev_cfd = (cfd_hi + cfd_lo)[q] + (cs_cfd - cfd_c - base_cfd)
-                drop = crossed[q] | exit_cond(prev_mit, prev_cfd)
-                keepf = jnp.where(drop, jnp.zeros_like(mit_c), jnp.ones_like(mit_c))
-                mit_c = mit_c * keepf
-                cfd_c = cfd_c * keepf
-
-            mit_part = jax.ops.segment_sum(mit_c, q, num_segments=Q)
-            cfd_part = jax.ops.segment_sum(cfd_c, q, num_segments=Q)
-            mit_hi, mit_lo = _two_sum(mit_hi, mit_lo, mit_part)
-            cfd_hi, cfd_lo = _two_sum(cfd_hi, cfd_lo, cfd_part)
-            if self.maximum_sum is not None:
-                crossed = crossed | exit_cond(mit_hi + mit_lo, cfd_hi + cfd_lo)
-            return mit_hi, mit_lo, cfd_hi, cfd_lo, crossed
-
-        zeros = jnp.zeros((Q,), dtype=self.dtype)
-        init = (zeros, zeros, zeros, zeros, jnp.zeros((Q,), dtype=bool))
-
-        if self.maximum_sum is not None:
-            # while-loop so the page stops as soon as every live query has
-            # exited (the vectorized analogue of the reference's break).
-            def cond(state):
-                r, acc = state
-                return (r < nrounds) & ~jnp.all(acc[4] | ~q_valid)
-
-            def body(state):
-                r, acc = state
-                return r + 1, round_body(r, acc)
-
-            _, (mit_hi, mit_lo, cfd_hi, cfd_lo, _) = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), init)
-            )
-        else:
-            mit_hi, mit_lo, cfd_hi, cfd_lo, _ = jax.lax.fori_loop(
-                0, nrounds, round_body, init
-            )
-        return mit_hi + mit_lo, cfd_hi + cfd_lo
+        self._score_page = jax.jit(partial(score_page_core, self.cfg))
 
     # ------------------------------------------------------------------
 

@@ -1,0 +1,193 @@
+"""Specificity positioning: exact-match genome search replacing Bowtie2.
+
+The reference writes 8 PAM variants per guide (4x NGG + 4x NAG,
+Crackling.py:628-641), aligns them with Bowtie2 and counts perfect
+alignments: each variant contributes +1 if it has a perfect alignment
+(``XM:i:0``) and +1 more if a second perfect alignment exists (``XS:i:0``);
+a guide with a total > 1 is rejected (Crackling.py:694-715).
+
+That is exactly ``sum(min(exact_occurrences(variant), 2))`` over the eight
+variants, where occurrences are counted on both genome strands. This module
+computes it by direct exact search over 2-bit-packed genome windows —
+no aligner, no SAM round trip.
+
+Recorded coordinates: the reference stores the chromosome/position of the
+first variant's reported alignment, which for real guides is the guide's own
+locus. We record the first exact occurrence (lowest chromosome order, then
+position) over the eight variants, 1-based like SAM POS, end = pos + 22
+(Crackling.py:683-689). This differs from Bowtie2 only when a guide has no
+exact genomic occurrence at all (then the reference records Bowtie2's
+best inexact alignment; we record none).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..codec import codes_rc, pack_lofirst
+from ..index.extract import encode_seq
+
+# PAM variants appended to guide[0:20] (reference Crackling.py:629-637):
+# AGG CGG GGG TGG AAG CAG GAG TAG -> codes for positions 20,21,22.
+PAM_VARIANTS = [
+    (0, 2, 2), (1, 2, 2), (2, 2, 2), (3, 2, 2),
+    (0, 0, 2), (1, 0, 2), (2, 0, 2), (3, 0, 2),
+]
+
+
+@dataclass
+class GenomeIndex:
+    """Concatenated 2-bit genome with per-record boundaries."""
+
+    names: list[str]
+    codes: np.ndarray        # uint8 concatenated, 255 at separators
+    starts: np.ndarray       # int64 offset of each record in codes
+
+    @classmethod
+    def from_fasta(cls, path: str) -> "GenomeIndex":
+        names: list[str] = []
+        chunks: list[np.ndarray] = []
+        starts: list[int] = []
+        offset = 0
+        sep = np.full(23, 255, dtype=np.uint8)
+        with open(path, "r") as fp:
+            cur: list[str] = []
+
+            def flush():
+                nonlocal offset
+                if names:
+                    seq = "".join(cur)
+                    codes = encode_seq(seq, to_upper=True)
+                    starts.append(offset)
+                    chunks.append(codes)
+                    chunks.append(sep)
+                    offset += codes.shape[0] + sep.shape[0]
+
+            for line in fp:
+                line = line.strip()
+                if not line:
+                    continue
+                if line[0] == ">":
+                    flush()
+                    names.append(line[1:].split()[0])
+                    cur = []
+                else:
+                    cur.append(line)
+            flush()
+        codes = (np.concatenate(chunks) if chunks
+                 else np.zeros(0, dtype=np.uint8))
+        return cls(names=names, codes=codes,
+                   starts=np.asarray(starts, dtype=np.int64))
+
+    def locate(self, flat_pos: np.ndarray):
+        """Flat concatenated offsets -> (record index, 1-based position)."""
+        rec = np.searchsorted(self.starts, flat_pos, side="right") - 1
+        return rec, flat_pos - self.starts[rec] + 1
+
+
+def _window_sigs23(codes: np.ndarray):
+    """All valid 23-mer window signatures (forward strand) and positions."""
+    n = codes.shape[0]
+    if n < 23:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    bad = (codes == 255).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(bad)])
+    valid = (cum[23:] - cum[:-23]) == 0
+    pos = np.flatnonzero(valid)
+    wins = codes[pos[:, None] + np.arange(23)[None, :]]
+    return pack_lofirst(wins), pos
+
+
+def variant_sigs(sigs23_or_20: np.ndarray, is_20mer: bool = False) -> np.ndarray:
+    """(n, 8) uint64 signatures of the eight PAM variants per guide."""
+    base20 = np.asarray(sigs23_or_20, dtype=np.uint64) & np.uint64((1 << 40) - 1)
+    out = np.empty((base20.shape[0], 8), dtype=np.uint64)
+    for k, (b20, b21, b22) in enumerate(PAM_VARIANTS):
+        pam = (np.uint64(b20) << np.uint64(40)) | (np.uint64(b21) << np.uint64(42)) \
+            | (np.uint64(b22) << np.uint64(44))
+        out[:, k] = base20 | pam
+    return out
+
+
+def rc_sig23(sigs: np.ndarray) -> np.ndarray:
+    """Reverse complement of packed 23-mer signatures."""
+    out = np.zeros_like(sigs)
+    for j in range(23):
+        base = (sigs >> np.uint64(2 * j)) & np.uint64(3)
+        out |= (base ^ np.uint64(3)) << np.uint64(2 * (22 - j))
+    return out
+
+
+def position_guides(
+    guide_sigs23: np.ndarray,
+    genome: GenomeIndex,
+    chunk: int = 1 << 22,
+):
+    """Exact-match positioning of guides against a genome.
+
+    Returns ``(passed, chrom, start, end)`` where ``passed`` is the
+    Bowtie2-stage verdict (True == accepted: at most one perfect hit across
+    the 8 PAM variants), ``chrom`` is the record name ('?' when no exact
+    occurrence) and start/end are 1-based SAM-style coordinates (0 when
+    none).
+    """
+    n = guide_sigs23.shape[0]
+    variants = variant_sigs(guide_sigs23)              # (n, 8)
+    flat = variants.reshape(-1)
+    rc_flat = rc_sig23(flat)
+    # search keys: forward-match key and the key a reverse-strand hit shows
+    keys = np.concatenate([flat, rc_flat])
+    owner = np.concatenate([np.arange(n * 8), np.arange(n * 8)])
+    order = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order]
+    owner_sorted = owner[order]
+
+    counts = np.zeros(n * 8, dtype=np.int64)
+    first_pos = np.full(n * 8, np.iinfo(np.int64).max, dtype=np.int64)
+
+    codes = genome.codes
+    total = codes.shape[0]
+    step = chunk
+    for c0 in range(0, total, step):
+        c1 = min(total, c0 + step + 22)  # overlap so windows span boundaries
+        sigs, pos = _window_sigs23(codes[c0:c1])
+        if c0 > 0:
+            keep = pos < step  # avoid double-counting overlap region
+            sigs, pos = sigs[keep], pos[keep]
+        if sigs.size == 0:
+            continue
+        idx = np.searchsorted(keys_sorted, sigs)
+        # a key may occur multiple times (fwd key of one guide == rc key of
+        # another); walk duplicates
+        m = idx < keys_sorted.shape[0]
+        while m.any():
+            sel = np.flatnonzero(m)
+            hit = keys_sorted[idx[sel]] == sigs[sel]
+            hs = sel[hit]
+            if hs.size:
+                v = owner_sorted[idx[hs]]
+                np.add.at(counts, v, 1)
+                np.minimum.at(first_pos, v, pos[hs] + c0)
+            idx[sel[hit]] += 1
+            m = np.zeros_like(m)
+            m[sel[hit]] = idx[sel[hit]] < keys_sorted.shape[0]
+
+    counts = counts.reshape(n, 8)
+    first_pos = first_pos.reshape(n, 8)
+    nb = np.minimum(counts, 2).sum(axis=1)
+    passed = nb <= 1
+
+    has_hit = counts > 0
+    any_hit = has_hit.any(axis=1)
+    # first occurrence across variants (variant order, then position):
+    best = np.where(has_hit, first_pos, np.iinfo(np.int64).max).min(axis=1)
+    chrom = np.array(["?"] * n, dtype=object)
+    start = np.zeros(n, dtype=np.int64)
+    if any_hit.any():
+        rec, pos1 = genome.locate(best[any_hit])
+        chrom[any_hit] = [genome.names[r] for r in rec]
+        start[any_hit] = pos1
+    end = np.where(any_hit, start + 22, 0)
+    return passed, chrom, start, end

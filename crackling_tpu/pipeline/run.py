@@ -1,0 +1,419 @@
+"""The end-to-end guide-design pipeline (reference ``Crackling()`` equivalent).
+
+Behavioral contract follows /root/reference/src/crackling/Crackling.py:17-893
+— same module sequence, same optimisation-level gating
+(``filterCandidateGuides``, Crackling.py:36-149), same 26-column CSV — with
+the architecture re-designed around a **columnar guide table**: guides are
+2-bit signatures in numpy arrays, every scorer is a batched array op, and
+the specificity stages run the in-process TPU engines instead of
+temp-file/subprocess hops.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..codec import sigs_to_strings
+from ..constants import (
+    CODE_ACCEPTED,
+    CODE_AMBIGUOUS,
+    CODE_REJECTED,
+    CODE_UNTESTED,
+    GUIDE_COLUMNS,
+    MODULE_CHOPCHOP,
+    MODULE_MM10DB,
+    MODULE_SGRNASCORER2,
+    MODULE_SPECIFICITY,
+)
+from ..index import build_index, load_native, read_reference_issl
+from ..index.extract import encode_seq, find_candidate_guides
+from ..ops import efficiency as eff
+from ..ops.issl_jax import IsslScorer
+from .logger import printer
+from .positioning import GenomeIndex, position_guides
+from .secondary_structure import SecondaryStructureGate
+
+
+class GuideTable:
+    """Columnar per-batch guide state (replaces the per-guide dicts)."""
+
+    def __init__(self, seqs, headers, starts, ends, strands, is_dup):
+        self.n = len(seqs)
+        self.seq = np.asarray(seqs, dtype=object)
+        from ..codec import strings_to_sigs
+
+        self.sig23 = strings_to_sigs(list(seqs), 23) if self.n else np.zeros(0, np.uint64)
+        o = lambda v: np.array([v] * self.n, dtype=object)
+        self.col = {name: o(CODE_UNTESTED) for name in GUIDE_COLUMNS}
+        self.col["seq"] = self.seq
+        self.col["isUnique"] = np.where(is_dup, CODE_REJECTED, CODE_ACCEPTED).astype(object)
+        self.col["header"] = np.where(is_dup, CODE_AMBIGUOUS, np.asarray(headers, dtype=object))
+        self.col["start"] = np.where(is_dup, CODE_AMBIGUOUS, np.asarray(starts, dtype=object))
+        self.col["end"] = np.where(is_dup, CODE_AMBIGUOUS, np.asarray(ends, dtype=object))
+        self.col["strand"] = np.where(is_dup, CODE_AMBIGUOUS, np.asarray(strands, dtype=object))
+
+    def eq(self, name, value):
+        if self.n == 0:
+            return np.zeros(0, dtype=bool)
+        return self.col[name] == value
+
+    def set_where(self, name, mask, values):
+        self.col[name][mask] = values
+
+    def rows(self):
+        for i in range(self.n):
+            yield [self.col[c][i] for c in GUIDE_COLUMNS]
+
+
+def _batched(idx: np.ndarray, page_len: int):
+    """Chunk an index array into pages (page_len 0 => a single page),
+    mirroring the reference Paginator semantics (Paginator.py:26-47)."""
+    if page_len <= 0 or idx.size <= page_len:
+        yield idx
+        return
+    for i in range(0, idx.size, page_len):
+        yield idx[i:i + page_len]
+
+
+class Pipeline:
+    def __init__(self, config_mngr):
+        self.cm = config_mngr
+        self._issl_scorer = None
+        self._genome_index = None
+
+    # -- gating ---------------------------------------------------------
+
+    def filter_mask(self, t: GuideTable, module: str) -> np.ndarray:
+        """Vectorized ``filterCandidateGuides`` (reference Crackling.py:36-149)."""
+        cm = self.cm
+        module = module.lower()
+        opt = cm["general"]["optimisation"]
+        n = int(cm["consensus"]["n"])
+        assess = np.ones(t.n, dtype=bool)
+        if opt in ("low", "medium", "high"):
+            assess &= ~t.eq("isUnique", CODE_REJECTED)
+
+        def mm10db_failed():
+            bad = np.zeros(t.n, dtype=bool)
+            for f in ("passedAvoidLeadingT", "passedATPercent", "passedTTTT",
+                      "passedSecondaryStructure", "acceptedByMm10db"):
+                bad |= t.eq(f, CODE_REJECTED)
+            return bad
+
+        if opt == "medium":
+            if module == MODULE_MM10DB:
+                assess &= ~mm10db_failed()
+            if module == MODULE_SPECIFICITY:
+                assess &= ~(t.col["consensusCount"].astype(int) < n)
+                assess &= ~t.eq("passedBowtie", CODE_REJECTED)
+
+        if opt == "high":
+            if module in (MODULE_CHOPCHOP, MODULE_MM10DB, MODULE_SGRNASCORER2):
+                acc = sum(
+                    t.eq(f, CODE_ACCEPTED).astype(int)
+                    for f in ("acceptedByMm10db", "passedG20", "acceptedBySgRnaScorer")
+                )
+                assessed = sum(
+                    (t.eq(f, CODE_ACCEPTED) | t.eq(f, CODE_REJECTED)).astype(int)
+                    for f in ("acceptedByMm10db", "passedG20", "acceptedBySgRnaScorer")
+                )
+                tools = sum(
+                    self.cm["consensus"].getboolean(k)
+                    for k in ("mm10db", "chopchop", "sgrnascorer2")
+                )
+                assess &= ~(acc >= n)
+                assess &= ~(tools - assessed < n - acc)
+                if module == MODULE_MM10DB:
+                    assess &= ~mm10db_failed()
+            if module == MODULE_SPECIFICITY:
+                assess &= ~(t.col["consensusCount"].astype(int) < n)
+                assess &= ~t.eq("passedBowtie", CODE_REJECTED)
+        return assess
+
+    # -- stage A: extraction -------------------------------------------
+
+    def extract_candidates(self):
+        """Scan input files; returns discovery-ordered unique guide records
+        plus the duplicate set (reference Crackling.py:171-261)."""
+        cm = self.cm
+        records = []           # (seq23, header, start, end, strand)
+        seen: dict[str, int] = {}
+        duplicates: set[str] = set()
+        recorded_sequences: set[str] = set()
+
+        for path in cm.getIterFilesToProcess():
+            printer(f"Identifying possible target sites in: {path}")
+            pairs = self._parse_fasta(path)
+            # replicate the reference's previous-header gating incl. the
+            # always-process-the-last-sequence quirk (Crackling.py:207-252)
+            num_identified = 0
+            num_dup = 0
+            for k, (header, seq) in enumerate(pairs):
+                is_last = k == len(pairs) - 1
+                if not is_last and header in recorded_sequences and header != "":
+                    continue
+                if not is_last and header == "" and seq == "":
+                    continue
+                recorded_sequences.add(header)
+                starts, strands, sigs = find_candidate_guides(encode_seq(seq))
+                seqs = sigs_to_strings(sigs, 23)
+                for s23, st, strand in zip(seqs, starts, strands):
+                    num_identified += 1
+                    if s23 in seen:
+                        duplicates.add(s23)
+                        num_dup += 1
+                    else:
+                        seen[s23] = len(records)
+                        records.append((s23, header, int(st), int(st) + 23, strand))
+            printer(f"\tIdentified {num_identified:,} possible target sites in this file.")
+            printer(f"\tRemoving {num_dup:,} duplicate-occurrence guides.")
+        return records, duplicates
+
+    @staticmethod
+    def _parse_fasta(path):
+        """File -> ordered (header, joined-sequence) pairs; '' header for
+        leading headerless content (reference strips all line breaks,
+        Crackling.py:193-238)."""
+        pairs = []
+        header = ""
+        seq_parts: list[str] = []
+        with open(path) as fp:
+            for line in fp:
+                line = line.strip()
+                if not line:
+                    continue
+                if line[0] == ">":
+                    pairs.append((header, "".join(seq_parts)))
+                    header = line[1:]
+                    seq_parts = []
+                else:
+                    seq_parts.append(line)
+        pairs.append((header, "".join(seq_parts)))
+        # the reference's state machine never yields the initial ('', '')
+        # pair as a processed sequence unless content precedes a header
+        if pairs and pairs[0] == ("", ""):
+            pairs = pairs[1:]
+        return pairs
+
+    # -- specificity helpers -------------------------------------------
+
+    def _get_issl_scorer(self):
+        if self._issl_scorer is not None:
+            return self._issl_scorer
+        cm = self.cm
+        path = cm["input"]["offtarget-sites"]
+        printer(f"Loading off-target index: {path}")
+        if path.endswith(".npz"):
+            index = load_native(path)
+        elif path.endswith(".issl"):
+            index, _ = read_reference_issl(path)
+        else:
+            from ..codec import strings_to_sigs
+
+            with open(path) as fp:
+                seqs = fp.read().split()
+            sigs = strings_to_sigs(seqs, 20)
+            index = build_index(sigs, seq_length=20, slice_width=8)
+        method = cm["offtargetscore"]["method"].strip().lower()
+        self._issl_scorer = IsslScorer(
+            index,
+            max_dist=int(cm["offtargetscore"]["max-distance"]),
+            method=method,
+            threshold=float(cm["offtargetscore"]["score-threshold"]),
+        )
+        return self._issl_scorer
+
+    def _get_genome_index(self):
+        if self._genome_index is None:
+            path = self.cm["input"]["bowtie2-index"]
+            printer(f"Loading genome for positioning: {path}")
+            self._genome_index = GenomeIndex.from_fasta(path)
+        return self._genome_index
+
+    # -- batch processing ----------------------------------------------
+
+    def process_batch(self, t: GuideTable, csv_writer):
+        cm = self.cm
+        consensus_n = int(cm["consensus"]["n"])
+
+        if cm["consensus"].getboolean("chopchop"):
+            printer("CHOPCHOP - remove those without G in position 20.")
+            m = self.filter_mask(t, MODULE_CHOPCHOP)
+            ok = eff.g20_pass(t.sig23[m])
+            t.set_where("passedG20", m, np.where(ok, CODE_ACCEPTED, CODE_REJECTED).astype(object))
+            printer(f"\t{int((~ok).sum()):,} of {int(m.sum()):,} failed here.")
+
+        if cm["consensus"].getboolean("mm10db"):
+            printer("mm10db - remove all targets with a leading T (+) or trailing A (-).")
+            m = self.filter_mask(t, MODULE_MM10DB)
+            ok = eff.leading_t_trailing_a_pass(t.sig23[m])
+            t.set_where("passedAvoidLeadingT", m,
+                        np.where(ok, CODE_ACCEPTED, CODE_REJECTED).astype(object))
+            printer(f"\t{int((~ok).sum()):,} of {int(m.sum()):,} failed here.")
+
+            printer("mm10db - remove based on AT percent.")
+            m = self.filter_mask(t, MODULE_MM10DB)
+            at = eff.at_percentages(t.sig23[m])
+            ok = eff.at_percent_pass(at)
+            t.set_where("passedATPercent", m,
+                        np.where(ok, CODE_ACCEPTED, CODE_REJECTED).astype(object))
+            t.set_where("AT", m, np.array([float(x) for x in at], dtype=object))
+            printer(f"\t{int((~ok).sum()):,} of {int(m.sum()):,} failed here.")
+
+            printer("mm10db - remove all targets that contain TTTT.")
+            m = self.filter_mask(t, MODULE_MM10DB)
+            ok = eff.tttt_pass(t.sig23[m])
+            t.set_where("passedTTTT", m,
+                        np.where(ok, CODE_ACCEPTED, CODE_REJECTED).astype(object))
+            printer(f"\t{int((~ok).sum()):,} of {int(m.sum()):,} failed here.")
+
+            printer("mm10db - check secondary structure.")
+            gate = SecondaryStructureGate(
+                backend=cm["tpu"].get("rnafold-backend", "auto"),
+                binary=cm["rnafold"]["binary"],
+                threads=int(cm["rnafold"]["threads"]),
+                low_energy_threshold=float(cm["rnafold"]["low_energy_threshold"]),
+                high_energy_threshold=float(cm["rnafold"]["high_energy_threshold"]),
+            )
+            pg_len = int(cm["rnafold"]["page-length"])
+            m = self.filter_mask(t, MODULE_MM10DB)
+            for page in _batched(np.flatnonzero(m), pg_len):
+                res = gate.assess([t.seq[i] for i in page])
+                t.col["passedSecondaryStructure"][page] = res["verdict"]
+                t.col["ssL1"][page] = res["ssL1"]
+                t.col["ssStructure"][page] = res["ssStructure"]
+                t.col["ssEnergy"][page] = res["ssEnergy"]
+
+            printer("Calculating mm10db final result.")
+            # over ALL guides, no filter (reference Crackling.py:518-534)
+            all_ok = np.ones(t.n, dtype=bool)
+            for f in ("passedATPercent", "passedTTTT",
+                      "passedSecondaryStructure", "passedAvoidLeadingT"):
+                all_ok &= t.eq(f, CODE_ACCEPTED)
+            t.col["acceptedByMm10db"] = np.where(
+                all_ok, CODE_ACCEPTED, CODE_REJECTED
+            ).astype(object)
+            printer(f"\t{int(all_ok.sum())} accepted.")
+
+        if cm["consensus"].getboolean("sgrnascorer2"):
+            printer("sgRNAScorer2 - score using model.")
+            m = self.filter_mask(t, MODULE_SGRNASCORER2)
+            scores = eff.sgrnascorer2_scores(t.sig23[m])
+            thresh = float(cm["sgrnascorer2"]["score-threshold"])
+            ok = scores >= thresh
+            t.set_where("sgrnascorer2score", m,
+                        np.array([float(s) for s in scores], dtype=object))
+            t.set_where("acceptedBySgRnaScorer", m,
+                        np.where(ok, CODE_ACCEPTED, CODE_REJECTED).astype(object))
+            printer(f"\t{int((~ok).sum()):,} of {int(m.sum()):,} failed here.")
+
+        printer("Evaluating efficiency via consensus approach.")
+        cc = sum(
+            t.eq(f, CODE_ACCEPTED).astype(int)
+            for f in ("acceptedByMm10db", "acceptedBySgRnaScorer", "passedG20")
+        )
+        t.col["consensusCount"] = cc.astype(object)
+        printer(f"\t{int((cc < consensus_n).sum()):,} of {t.n:,} failed here.")
+
+        if cm["offtargetscore"].getboolean("enabled"):
+            printer("Bowtie-equivalent positioning analysis.")
+            genome = self._get_genome_index()
+            pg_len = int(cm["bowtie2"]["page-length"])
+            m = self.filter_mask(t, MODULE_SPECIFICITY)
+            for page in _batched(np.flatnonzero(m), pg_len):
+                passed, chrom, start, end = position_guides(t.sig23[page], genome)
+                t.col["passedBowtie"][page] = np.where(
+                    passed, CODE_ACCEPTED, CODE_REJECTED).astype(object)
+                t.col["bowtieChr"][page] = chrom
+                t.col["bowtieStart"][page] = np.array([int(x) for x in start], dtype=object)
+                t.col["bowtieEnd"][page] = np.array([int(x) for x in end], dtype=object)
+            printer(f"\tpositioned {int(m.sum()):,} guides.")
+
+            printer("Beginning off-target scoring.")
+            scorer = self._get_issl_scorer()
+            method = cm["offtargetscore"]["method"].strip().lower()
+            threshold = float(cm["offtargetscore"]["score-threshold"])
+            pg_len = int(cm["offtargetscore"]["page-length"])
+            m = self.filter_mask(t, MODULE_SPECIFICITY)
+            failed = 0
+            for page in _batched(np.flatnonzero(m), pg_len):
+                sigs20 = t.sig23[page] & np.uint64((1 << 40) - 1)
+                uniq, inv = np.unique(sigs20, return_inverse=True)
+                mit_u, cfd_u = scorer.score(uniq)
+                # round-trip through the reference's %f output formatting so
+                # emitted values match the subprocess pipeline exactly
+                mit = np.array([float(f"{x:.6f}") for x in mit_u])[inv]
+                cfd = np.array([float(f"{x:.6f}") for x in cfd_u])[inv]
+                calc_mit = method in ("mit", "and", "or", "avg")
+                calc_cfd = method in ("cfd", "and", "or", "avg")
+                t.col["mitOfftargetscore"][page] = np.array(
+                    [float(x) for x in mit] if calc_mit else [-1.0] * len(page),
+                    dtype=object)
+                t.col["cfdOfftargetscore"][page] = np.array(
+                    [float(x) for x in cfd] if calc_cfd else [-1.0] * len(page),
+                    dtype=object)
+                from ..ops.issl_jax import verdicts as issl_verdicts
+
+                ok = issl_verdicts(mit, cfd, threshold, method)
+                t.col["passedOffTargetScore"][page] = np.where(
+                    ok, CODE_ACCEPTED, CODE_REJECTED).astype(object)
+                failed += int((~ok).sum())
+            printer(f"\t{failed:,} of {int(m.sum()):,} failed here.")
+
+        printer("Writing results to file.")
+        for row in t.rows():
+            csv_writer.writerow(row)
+
+    # -- top level ------------------------------------------------------
+
+    def run(self):
+        cm = self.cm
+        start_time = time.time()
+        _stdout, _stderr = sys.stdout, sys.stderr
+        sys.stdout = cm.getLogMethod()
+        sys.stderr = cm.getErrLogMethod()
+        try:
+            printer("Analysing files...")
+            records, duplicates = self.extract_candidates()
+            out_path = cm["output"]["file"]
+            delim = cm["output"]["delimiter"]
+            with open(out_path, "a+", newline="") as fp:
+                w = csv.writer(fp, delimiter=delim, quotechar='"',
+                               dialect="unix", quoting=csv.QUOTE_MINIMAL)
+                w.writerow(GUIDE_COLUMNS)
+
+            batch_size = int(cm["input"]["batch-size"])
+            n_batches = max(1, -(-len(records) // batch_size)) if records else 0
+            for b in range(n_batches):
+                printer(f"Processing batch file {b + 1:,} of {n_batches}")
+                chunk = records[b * batch_size:(b + 1) * batch_size]
+                seqs = [r[0] for r in chunk]
+                is_dup = np.array([s in duplicates for s in seqs], dtype=bool)
+                t = GuideTable(
+                    seqs,
+                    [r[1] for r in chunk],
+                    [r[2] for r in chunk],
+                    [r[3] for r in chunk],
+                    [r[4] for r in chunk],
+                    is_dup,
+                )
+                printer(f"\tLoaded {t.n:,} guides")
+                with open(out_path, "a+", newline="") as fp:
+                    w = csv.writer(fp, delimiter=delim, quotechar='"',
+                                   dialect="unix", quoting=csv.QUOTE_MINIMAL)
+                    self.process_batch(t, w)
+                printer(f"{t.n} guides evaluated.")
+            printer("Total run time {} seconds".format(time.time() - start_time))
+        finally:
+            sys.stdout = _stdout
+            sys.stderr = _stderr
+
+
+def Crackling(config_mngr):
+    """Reference-compatible entry point (Crackling.py:17)."""
+    Pipeline(config_mngr).run()

