@@ -121,6 +121,47 @@ class IsslIndex:
         }
 
 
+    def device_arrays_aligned(self, align: int = 1024, tail: int = 0):
+        """SoA arrays with every bucket start padded to an ``align`` multiple.
+
+        Layout required by the Pallas kernel: DMA source offsets must be
+        tile-aligned, so each (slice, bucket) list is placed at an aligned
+        offset with dead padding (occ == 0, impossible signature) between
+        buckets. Returns the same keys as :meth:`device_arrays` plus
+        ``bucket_lens`` (true lengths); ``bucket_offsets`` are the aligned
+        starts. ``tail`` adds extra dead entries at the end of each slice so
+        fixed-size chunk DMAs never run past the allocation."""
+        lo, hi = sig_split(self.site_sigs)
+        occ = self.occurrences.astype(np.int32)
+        s_count, b_count = self.slice_count, self.bucket_count
+        lens = np.diff(self.bucket_offsets, axis=1)          # (S, B)
+        alens = ((lens + align - 1) // align) * align
+        npad = int(alens.sum(axis=1).max()) + max(tail, 0)
+        npad = ((npad + align - 1) // align) * align
+        list_lo = np.full((s_count, npad), -1, dtype=np.int32)
+        list_hi = np.full((s_count, npad), -1, dtype=np.int32)
+        list_occ = np.zeros((s_count, npad), dtype=np.int32)
+        aoffs = np.zeros((s_count, b_count + 1), dtype=np.int64)
+        np.cumsum(alens, axis=1, out=aoffs[:, 1:])
+        for s in range(s_count):
+            o = self.order[s]
+            for b in range(b_count):
+                src0, src1 = self.bucket_offsets[s, b], self.bucket_offsets[s, b + 1]
+                ids = o[src0:src1]
+                dst = aoffs[s, b]
+                n = src1 - src0
+                list_lo[s, dst:dst + n] = lo[ids]
+                list_hi[s, dst:dst + n] = hi[ids]
+                list_occ[s, dst:dst + n] = occ[ids]
+        return {
+            "list_lo": list_lo,
+            "list_hi": list_hi,
+            "list_occ": list_occ,
+            "bucket_offsets": aoffs.astype(np.int32),
+            "bucket_lens": lens.astype(np.int32),
+        }
+
+
 def build_index(
     site_sigs_with_dups: np.ndarray,
     seq_length: int = 20,
