@@ -28,7 +28,7 @@ DATA = ROOT / "bench_data"
 REFERENCE = Path("/root/reference")
 
 GENOME_MBP = int(os.environ.get("BENCH_GENOME_MBP", "20"))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", "4096"))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "16384"))
 
 
 def log(msg):
@@ -61,19 +61,18 @@ def ensure_dataset():
         return index_npz, issl, qfile
 
     from crackling_tpu.codec import sigs_to_strings
-    from crackling_tpu.index import (build_index, extract_offtarget_sites,
-                                     encode_seq, find_candidate_guides,
-                                     save_native, write_reference_issl)
+    from crackling_tpu.index import build_index, save_native, write_reference_issl
+    from crackling_tpu.index.extract import (extract_offtarget_sites_seq,
+                                             find_candidate_guides_seq)
 
     DATA.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(20260816)
     n = GENOME_MBP * 1_000_000
     log(f"generating {GENOME_MBP} Mbp synthetic genome")
-    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n)
-    codes = encode_seq(genome, to_upper=False)
+    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes()
     log("extracting off-target sites")
     t0 = time.time()
-    sites = extract_offtarget_sites(codes)
+    sites = extract_offtarget_sites_seq(genome, to_upper=False)
     log(f"  {len(sites):,} sites in {time.time() - t0:.1f}s")
     log("building ISSL index")
     t0 = time.time()
@@ -83,7 +82,7 @@ def ensure_dataset():
     write_reference_issl(index, str(issl))
 
     log("extracting candidate guides for queries")
-    _, _, cand = find_candidate_guides(codes[: 4 * N_QUERIES * 30])
+    _, _, cand = find_candidate_guides_seq(genome[: min(len(genome), 8 * N_QUERIES * 30)])
     queries = np.unique(cand & np.uint64((1 << 40) - 1))
     rng.shuffle(queries)
     queries = queries[:N_QUERIES]
@@ -92,9 +91,10 @@ def ensure_dataset():
 
 
 def time_reference(refbin, issl, qfile, queries):
-    """Scoring rate of the C++ binary with load time removed."""
-    double_q = DATA / "queries2x.txt"
-    double_q.write_text(qfile.read_text() * 2)
+    """Scoring rate of the C++ binary with process/index-load time removed:
+    rate = 4N / (t(5N) - t(N)), min over repeats."""
+    big_q = DATA / "queries5x.txt"
+    big_q.write_text(qfile.read_text() * 5)
 
     def run_once(qf):
         t0 = time.time()
@@ -106,11 +106,11 @@ def time_reference(refbin, issl, qfile, queries):
         return time.time() - t0
 
     run_once(qfile)  # warm page cache
-    t1 = min(run_once(qfile) for _ in range(2))
-    t2 = min(run_once(double_q) for _ in range(2))
-    dt = max(t2 - t1, 1e-9)
-    rate = len(queries) / dt
-    log(f"reference: t(N)={t1:.2f}s t(2N)={t2:.2f}s -> {rate:,.0f} guides/s")
+    t1 = min(run_once(qfile) for _ in range(3))
+    t5 = min(run_once(big_q) for _ in range(3))
+    dt = max(t5 - t1, 1e-9)
+    rate = 4 * len(queries) / dt
+    log(f"reference: t(N)={t1:.2f}s t(5N)={t5:.2f}s -> {rate:,.0f} guides/s")
     return rate
 
 

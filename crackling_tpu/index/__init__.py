@@ -10,3 +10,7 @@ from .io import (  # noqa: F401
     save_native,
     write_reference_issl,
 )
+from .extract import (  # noqa: F401
+    extract_offtarget_sites_seq,
+    find_candidate_guides_seq,
+)

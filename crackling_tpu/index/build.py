@@ -178,9 +178,19 @@ def build_index(
     sigs = np.asarray(site_sigs_with_dups, dtype=np.uint64)
     total = int(sigs.shape[0])
     # lexicographic order == numeric order of the bit-reversed (big-endian)
-    # packing; np.unique sorts numerically, so convert, unique, convert back.
+    # packing; sort numerically in lex space, then convert back.
+    from .. import native
+
     lex = _lofirst_to_lex(sigs, seq_length)
-    uniq_lex, counts = np.unique(lex, return_counts=True)
+    lex_sorted = native.sort_u64_native(lex.copy())
+    if lex_sorted is not None:
+        uc = native.unique_counts_native(lex_sorted)
+    else:
+        uc = None
+    if uc is not None:
+        uniq_lex, counts = uc
+    else:
+        uniq_lex, counts = np.unique(lex, return_counts=True)
     uniq = lex_to_lofirst(uniq_lex, seq_length)
     return IsslIndex(
         seq_length=seq_length,

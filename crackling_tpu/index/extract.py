@@ -60,6 +60,35 @@ def _gather_windows(codes: np.ndarray, starts: np.ndarray, length: int) -> np.nd
     return codes[starts[:, None] + np.arange(length)[None, :]]
 
 
+def extract_offtarget_sites_seq(seq, to_upper: bool = True) -> np.ndarray:
+    """Sequence (str/bytes) -> off-target site signatures; native C++ scan
+    when available, numpy fallback otherwise."""
+    from .. import native
+
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    out = native.extract_offtargets_native(seq, to_upper)
+    if out is not None:
+        return out
+    return extract_offtarget_sites(encode_seq(np.frombuffer(seq, np.uint8),
+                                               to_upper=to_upper))
+
+
+def find_candidate_guides_seq(seq):
+    """Sequence (str/bytes) -> (starts, strands, sigs23); native C++ scan
+    when available, numpy fallback otherwise."""
+    from .. import native
+
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    res = native.extract_candidates_native(seq)
+    if res is not None:
+        sig, pos, strand = res
+        strands = np.where(strand == 0, "+", "-").astype("U1")
+        return pos, strands, sig
+    return find_candidate_guides(encode_seq(np.frombuffer(seq, np.uint8)))
+
+
 def find_candidate_guides(codes: np.ndarray):
     """Candidate 23-mer target sites in one sequence.
 

@@ -1,0 +1,122 @@
+"""ctypes bindings for the native host data path (extract.cpp).
+
+The shared library is compiled on first use with the host g++ (cached next
+to the source, rebuilt when the source changes). Every entry point has a
+pure-numpy fallback in index/extract.py, so the package works without a
+toolchain; the native path is ~10x faster on long genomes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "extract.cpp"
+_LIB = _HERE / "_libcrackling_native.so"
+_lock = threading.Lock()
+_lib = None
+_disabled = os.environ.get("CRACKLING_NO_NATIVE", "") == "1"
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-fopenmp",
+             "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded library, or None when unavailable."""
+    global _lib, _disabled
+    if _disabled:
+        return None
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None or _disabled:
+            return _lib
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                _disabled = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _disabled = True
+            return None
+        i64, u64p, i64p, u8p, u32p, charp = (
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_char_p,
+        )
+        lib.ct_extract_offtargets.restype = i64
+        lib.ct_extract_offtargets.argtypes = [charp, i64, ctypes.c_int, u64p, i64]
+        lib.ct_extract_candidates.restype = i64
+        lib.ct_extract_candidates.argtypes = [charp, i64, u64p, i64p, u8p, i64]
+        lib.ct_sort_u64.restype = None
+        lib.ct_sort_u64.argtypes = [u64p, i64]
+        lib.ct_unique_counts.restype = i64
+        lib.ct_unique_counts.argtypes = [u64p, i64, u64p, u32p]
+        _lib = lib
+        return _lib
+
+
+def extract_offtargets_native(seq_bytes: bytes, to_upper: bool) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seq_bytes)
+    cap = max(16, 2 * n)
+    out = np.empty(cap, dtype=np.uint64)
+    count = lib.ct_extract_offtargets(seq_bytes, n, int(to_upper), out, cap)
+    return out[:count].copy()
+
+
+def extract_candidates_native(seq_bytes: bytes):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seq_bytes)
+    cap = max(16, 2 * n)
+    sig = np.empty(cap, dtype=np.uint64)
+    pos = np.empty(cap, dtype=np.int64)
+    strand = np.empty(cap, dtype=np.uint8)
+    count = lib.ct_extract_candidates(seq_bytes, n, sig, pos, strand, cap)
+    return sig[:count].copy(), pos[:count].copy(), strand[:count].copy()
+
+
+def sort_u64_native(arr: np.ndarray) -> np.ndarray | None:
+    """Radix sort; returns the sorted array (in place when contiguous) or
+    None if the native lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not arr.flags["C_CONTIGUOUS"]:
+        arr = arr.copy()
+    lib.ct_sort_u64(arr, arr.shape[0])
+    return arr
+
+
+def unique_counts_native(sorted_arr: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = sorted_arr.shape[0]
+    vals = np.empty(n, dtype=np.uint64)
+    counts = np.empty(n, dtype=np.uint32)
+    m = lib.ct_unique_counts(np.ascontiguousarray(sorted_arr), n, vals, counts)
+    return vals[:m].copy(), counts[:m].copy()

@@ -129,11 +129,11 @@ def _kernel(qoff_ref, boff_ref, blen_ref, qsorted_ref, q_lo_ref, q_hi_ref,
                 qid = qsorted_ref[s, q_start + qi]
                 ql_s = q_lo_ref[qid].astype(jnp.uint32)
                 qh_s = q_hi_ref[qid].astype(jnp.uint32)
-                ql = jnp.full((sup_rows, LANES), ql_s, jnp.uint32)
-                qh = jnp.full((sup_rows, LANES), qh_s, jnp.uint32)
 
-                x_lo = ql ^ o_lo
-                x_hi = qh ^ o_hi
+                # scalar-broadcast ops: the query signature never becomes a
+                # tile, halving the distance-phase VPU work
+                x_lo = o_lo ^ ql_s
+                x_hi = o_hi ^ qh_s
                 coll_lo = ((x_lo & jnp.uint32(0xAAAAAAAA)) >> 1) | \
                     (x_lo & jnp.uint32(0x55555555))
                 coll_hi = ((x_hi & jnp.uint32(0xAAAAAAAA)) >> 1) | \
@@ -162,23 +162,27 @@ def _kernel(qoff_ref, boff_ref, blen_ref, qsorted_ref, q_lo_ref, q_hi_ref,
                     first = jnp.full(hit.shape, 99, dtype=jnp.int32)
                     last = jnp.full(hit.shape, -1, dtype=jnp.int32)
                     for p in range(20):
+                        # query base is a SCALAR: the four candidate CFD
+                        # penalties for this position collapse to scalar
+                        # selects; only the off-target base is a tile
                         if p < 16:
-                            qb = (ql >> jnp.uint32(2 * p)) & jnp.uint32(3)
+                            qb_s = (ql_s >> jnp.uint32(2 * p)) & jnp.uint32(3)
                             ob = (o_lo >> jnp.uint32(2 * p)) & jnp.uint32(3)
                         else:
-                            qb = (qh >> jnp.uint32(2 * (p - 16))) & jnp.uint32(3)
+                            qb_s = (qh_s >> jnp.uint32(2 * (p - 16))) & jnp.uint32(3)
                             ob = (o_hi >> jnp.uint32(2 * (p - 16))) & jnp.uint32(3)
-                        mm = qb != ob
+                        mm = ob != qb_s
                         t1 = t1 * jnp.where(
                             mm, jnp.float32(1.0 - MIT_WEIGHTS[p]),
                             jnp.float32(1.0))
                         first = jnp.where(mm & (first == 99), p, first)
                         last = jnp.where(mm, p, last)
-                        # pen = pos_pen[p, qb*4 + (ob^3)] via select trees
+                        # pen = pos_pen[p, qb*4 + (ob^3)] via a select tree
+                        # over the complemented off-target base
                         cob = ob ^ jnp.uint32(3)
                         row = pos_pen[p]
                         tsel = [
-                            _select4(qb, row[0 + t], row[4 + t],
+                            _select4(qb_s, row[0 + t], row[4 + t],
                                      row[8 + t], row[12 + t])
                             for t in range(4)
                         ]

@@ -31,7 +31,7 @@ from ..constants import (
     MODULE_SPECIFICITY,
 )
 from ..index import build_index, load_native, read_reference_issl
-from ..index.extract import encode_seq, find_candidate_guides
+from ..index.extract import encode_seq, find_candidate_guides_seq
 from ..ops import efficiency as eff
 from ..ops.issl_jax import IsslScorer
 from .logger import printer
@@ -160,7 +160,7 @@ class Pipeline:
                 if not is_last and header == "" and seq == "":
                     continue
                 recorded_sequences.add(header)
-                starts, strands, sigs = find_candidate_guides(encode_seq(seq))
+                starts, strands, sigs = find_candidate_guides_seq(seq)
                 seqs = sigs_to_strings(sigs, 23)
                 for s23, st, strand in zip(seqs, starts, strands):
                     num_identified += 1

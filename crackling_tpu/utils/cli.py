@@ -77,7 +77,7 @@ def main_extract_offtargets(argv=None):
     import os
 
     from ..codec import sigs_to_strings
-    from ..index.extract import encode_seq, extract_offtarget_sites
+    from ..index.extract import extract_offtarget_sites_seq
     from ..pipeline.logger import printer
     from ..pipeline.run import Pipeline
 
@@ -89,7 +89,7 @@ def main_extract_offtargets(argv=None):
     total = 0
     for path in inputs:
         for header, seq in Pipeline._parse_fasta(path):
-            sigs = extract_offtarget_sites(encode_seq(seq, to_upper=True))
+            sigs = extract_offtarget_sites_seq(seq, to_upper=True)
             total += len(sigs)
             all_sigs.append(sigs)
     printer(f"Processing completed. Found {total:,} targets.")
