@@ -35,6 +35,7 @@ from ..index.extract import encode_seq, find_candidate_guides_seq
 from ..ops import efficiency as eff
 from ..ops.issl_jax import IsslScorer
 from .logger import printer
+from .metrics import Metrics, ResumeManifest, config_fingerprint
 from .positioning import GenomeIndex, position_guides
 from .secondary_structure import SecondaryStructureGate
 
@@ -85,6 +86,7 @@ class Pipeline:
         self.cm = config_mngr
         self._issl_scorer = None
         self._genome_index = None
+        self.metrics = Metrics()
 
     # -- gating ---------------------------------------------------------
 
@@ -273,6 +275,8 @@ class Pipeline:
             printer(f"\t{int((~ok).sum()):,} of {int(m.sum()):,} failed here.")
 
             printer("mm10db - check secondary structure.")
+            ss_timer = self.metrics.stage("secondary_structure")
+            ss_timer.__enter__()
             gate = SecondaryStructureGate(
                 backend=cm["tpu"].get("rnafold-backend", "auto"),
                 binary=cm["rnafold"]["binary"],
@@ -288,6 +292,8 @@ class Pipeline:
                 t.col["ssL1"][page] = res["ssL1"]
                 t.col["ssStructure"][page] = res["ssStructure"]
                 t.col["ssEnergy"][page] = res["ssEnergy"]
+
+            ss_timer.__exit__(None, None, None)
 
             printer("Calculating mm10db final result.")
             # over ALL guides, no filter (reference Crackling.py:518-534)
@@ -322,6 +328,8 @@ class Pipeline:
 
         if cm["offtargetscore"].getboolean("enabled"):
             printer("Bowtie-equivalent positioning analysis.")
+            pos_timer = self.metrics.stage("positioning")
+            pos_timer.__enter__()
             genome = self._get_genome_index()
             pg_len = int(cm["bowtie2"]["page-length"])
             m = self.filter_mask(t, MODULE_SPECIFICITY)
@@ -333,8 +341,11 @@ class Pipeline:
                 t.col["bowtieStart"][page] = np.array([int(x) for x in start], dtype=object)
                 t.col["bowtieEnd"][page] = np.array([int(x) for x in end], dtype=object)
             printer(f"\tpositioned {int(m.sum()):,} guides.")
+            pos_timer.__exit__(None, None, None)
 
             printer("Beginning off-target scoring.")
+            ot_timer = self.metrics.stage("offtarget_scoring")
+            ot_timer.__enter__()
             scorer = self._get_issl_scorer()
             method = cm["offtargetscore"]["method"].strip().lower()
             threshold = float(cm["offtargetscore"]["score-threshold"])
@@ -363,6 +374,7 @@ class Pipeline:
                 t.col["passedOffTargetScore"][page] = np.where(
                     ok, CODE_ACCEPTED, CODE_REJECTED).astype(object)
                 failed += int((~ok).sum())
+            ot_timer.__exit__(None, None, None)
             printer(f"\t{failed:,} of {int(m.sum()):,} failed here.")
 
         printer("Writing results to file.")
@@ -378,18 +390,37 @@ class Pipeline:
         sys.stdout = cm.getLogMethod()
         sys.stderr = cm.getErrLogMethod()
         try:
-            printer("Analysing files...")
-            records, duplicates = self.extract_candidates()
             out_path = cm["output"]["file"]
             delim = cm["output"]["delimiter"]
-            with open(out_path, "a+", newline="") as fp:
-                w = csv.writer(fp, delimiter=delim, quotechar='"',
-                               dialect="unix", quoting=csv.QUOTE_MINIMAL)
-                w.writerow(GUIDE_COLUMNS)
+            self.metrics.path = out_path + ".metrics.json"
+            manifest = ResumeManifest(out_path, config_fingerprint(cm._parser))
+            resume = (cm["output"].getboolean("resume", fallback=False)
+                      and os.path.exists(out_path))
+            if resume and not manifest.exists():
+                printer("Output exists with no resume manifest - the previous "
+                        "run completed; nothing to resume.")
+                return
+            start_batch = manifest.load() if resume else 0
+            if start_batch:
+                printer(f"Resuming: {start_batch} batch(es) already complete.")
+
+            printer("Analysing files...")
+            with self.metrics.stage("extract_candidates"):
+                records, duplicates = self.extract_candidates()
+            self.metrics.count("candidates", len(records))
+            self.metrics.count("duplicates", len(duplicates))
+
+            if start_batch == 0:
+                with open(out_path, "a+", newline="") as fp:
+                    w = csv.writer(fp, delimiter=delim, quotechar='"',
+                                   dialect="unix", quoting=csv.QUOTE_MINIMAL)
+                    w.writerow(GUIDE_COLUMNS)
 
             batch_size = int(cm["input"]["batch-size"])
             n_batches = max(1, -(-len(records) // batch_size)) if records else 0
             for b in range(n_batches):
+                if b < start_batch:
+                    continue
                 printer(f"Processing batch file {b + 1:,} of {n_batches}")
                 chunk = records[b * batch_size:(b + 1) * batch_size]
                 seqs = [r[0] for r in chunk]
@@ -403,11 +434,16 @@ class Pipeline:
                     is_dup,
                 )
                 printer(f"\tLoaded {t.n:,} guides")
-                with open(out_path, "a+", newline="") as fp:
-                    w = csv.writer(fp, delimiter=delim, quotechar='"',
-                                   dialect="unix", quoting=csv.QUOTE_MINIMAL)
-                    self.process_batch(t, w)
+                with self.metrics.stage("process_batches"):
+                    with open(out_path, "a+", newline="") as fp:
+                        w = csv.writer(fp, delimiter=delim, quotechar='"',
+                                       dialect="unix", quoting=csv.QUOTE_MINIMAL)
+                        self.process_batch(t, w)
+                self.metrics.count("guides_evaluated", t.n)
+                manifest.mark(b + 1, n_batches)
                 printer(f"{t.n} guides evaluated.")
+            manifest.finish()
+            self.metrics.flush()
             printer("Total run time {} seconds".format(time.time() - start_time))
         finally:
             sys.stdout = _stdout

@@ -164,3 +164,64 @@ def test_pipeline_output_blocked_without_resume(mini_world):
     # output file now exists from the previous test -> must refuse
     assert not cm.isConfigured()
     assert any("already exists" in m for m in msgs)
+
+
+def test_resume_manifest(tmp_path):
+    from crackling_tpu.pipeline.metrics import ResumeManifest, Metrics
+
+    out = tmp_path / "g.csv"
+    out.write_text("x")
+    m = ResumeManifest(str(out), "abc")
+    assert not m.exists()
+    assert m.load() == 0
+    m.mark(2, 5)
+    assert m.exists()
+    m2 = ResumeManifest(str(out), "abc")
+    assert m2.load() == 2
+    # config changed -> manifest ignored
+    m3 = ResumeManifest(str(out), "different")
+    assert m3.load() == 0
+    m.finish()
+    assert not m.exists()
+
+    metrics = Metrics(str(tmp_path / "m.json"))
+    with metrics.stage("phase1"):
+        pass
+    metrics.count("items", 7)
+    metrics.flush()
+    import json
+
+    d = json.load(open(tmp_path / "m.json"))
+    assert "phase1" in d["stage_seconds"]
+    assert d["counters"]["items"] == 7
+
+
+def test_pipeline_resume_skips_completed(mini_world, tmp_path):
+    """A crashed run resumes at the right batch and completes the output."""
+    import shutil
+
+    from crackling_tpu.pipeline.config import ConfigManager
+    from crackling_tpu.pipeline.metrics import ResumeManifest, config_fingerprint
+    from crackling_tpu.pipeline.run import Crackling
+
+    outdir = tmp_path / "resume-out"
+    outdir.mkdir()
+    cfg = tmp_path / "config.ini"
+    text = mini_world["config"].read_text().replace(
+        str(mini_world["outdir"]), str(outdir))
+    cfg.write_text(text + "\nresume = True\n"
+                   if "[output]" not in text else
+                   text.replace("[output]", "[output]\nresume = True"))
+
+    cm = ConfigManager(str(cfg), lambda m: None)
+    assert cm.isConfigured()
+    out_file = outdir / "mini-guides.txt"
+    # simulate a crash after 0 completed batches: header written, manifest at 0
+    out_file.write_text("")
+    ResumeManifest(str(out_file), config_fingerprint(cm._parser)).mark(0, 1)
+    cm2 = ConfigManager(str(cfg), lambda m: None)
+    assert cm2.isConfigured()  # resume=True allows existing output
+    Crackling(cm2)
+    rows = out_file.read_text().strip().split("\n")
+    assert len(rows) > 50
+    assert not (outdir / "mini-guides.txt.resume.json").exists()
