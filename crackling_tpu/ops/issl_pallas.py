@@ -125,7 +125,7 @@ def _kernel(qoff_ref, boff_ref, blen_ref, qsorted_ref, q_lo_ref, q_hi_ref,
             )
             in_bucket = entry_ids < blen
 
-            def query_body(qi, _):
+            def one_query(qi):
                 qid = qsorted_ref[s, q_start + qi]
                 ql_s = q_lo_ref[qid].astype(jnp.uint32)
                 qh_s = q_hi_ref[qid].astype(jnp.uint32)
@@ -142,6 +142,10 @@ def _kernel(qoff_ref, boff_ref, blen_ref, qsorted_ref, q_lo_ref, q_hi_ref,
                         + jax.lax.population_count(coll_hi)).astype(jnp.int32)
                 hit = (dist <= max_dist) & in_bucket
 
+                # NOTE(perf): this vector->scalar reduction + branch costs
+                # ~1-2us/iteration (cross-unit sync) but measured 1.7x
+                # faster end-to-end than unconditional scoring; batching the
+                # check across several queries is the next optimization.
                 @pl.when(jnp.any(hit))
                 def _score():
                     # first-clean-slice dedup: count the hit here only if no
@@ -204,9 +208,19 @@ def _kernel(qoff_ref, boff_ref, blen_ref, qsorted_ref, q_lo_ref, q_hi_ref,
                     mit_ref[out_slot] = mit_ref[out_slot] + jnp.sum(mit_local * vf)
                     cfd_ref[out_slot] = cfd_ref[out_slot] + jnp.sum(cfd_local * vf)
 
+            # manual 4x unroll: the per-iteration scalar bookkeeping (loop
+            # control, SMEM reads, branch setup) dominates small buckets
+            def query_body4(qi4, _):
+                for k in range(4):
+                    qi = qi4 * 4 + k
+
+                    @pl.when(qi < nq)
+                    def _(qi=qi):
+                        one_query(qi)
+
                 return 0
 
-            jax.lax.fori_loop(0, nq, query_body, 0)
+            jax.lax.fori_loop(0, (nq + 3) // 4, query_body4, 0)
             return 0
 
         jax.lax.fori_loop(0, nsup, sup_body, 0)
