@@ -166,7 +166,6 @@ def build_index(
     site_sigs_with_dups: np.ndarray,
     seq_length: int = 20,
     slice_width: int = 8,
-    presorted: bool = False,
 ) -> IsslIndex:
     """Build an :class:`IsslIndex` from (possibly duplicated) site signatures.
 

@@ -349,8 +349,6 @@ class IsslScorer:
             self.maximum_sum = (10000.0 - threshold * 100.0) / threshold
         else:
             self.maximum_sum = None
-        self.index_meta = (index.seq_length, index.slice_width,
-                          index.slice_count, index.bucket_count)
         self.seq_length = index.seq_length
         self.slice_width = index.slice_width
         self.slice_count = index.slice_count

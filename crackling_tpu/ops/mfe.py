@@ -70,7 +70,6 @@ _NINIO_MAX = 3.0
 _ML_CLOSE = 3.4       # multiloop closing (a)
 _ML_BRANCH = 0.4      # per branch (b)
 _ML_UNPAIRED = 0.0    # per unpaired base (c), Turner 2004
-_TERM_AU = 0.5        # terminal AU/GU helix-end penalty
 
 
 @lru_cache(maxsize=1)

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..codec import codes_rc, pack_lofirst
+from ..codec import pack_lofirst
 from ..index.extract import encode_seq
 
 # PAM variants appended to guide[0:20] (reference Crackling.py:629-637):
@@ -100,9 +100,11 @@ def _window_sigs23(codes: np.ndarray):
     return pack_lofirst(wins), pos
 
 
-def variant_sigs(sigs23_or_20: np.ndarray, is_20mer: bool = False) -> np.ndarray:
-    """(n, 8) uint64 signatures of the eight PAM variants per guide."""
-    base20 = np.asarray(sigs23_or_20, dtype=np.uint64) & np.uint64((1 << 40) - 1)
+def variant_sigs(sigs: np.ndarray) -> np.ndarray:
+    """(n, 8) uint64 signatures of the eight PAM variants per guide.
+
+    Accepts 23-mer or 20-mer signatures (only the low 40 bits are used)."""
+    base20 = np.asarray(sigs, dtype=np.uint64) & np.uint64((1 << 40) - 1)
     out = np.empty((base20.shape[0], 8), dtype=np.uint64)
     for k, (b20, b21, b22) in enumerate(PAM_VARIANTS):
         pam = (np.uint64(b20) << np.uint64(40)) | (np.uint64(b21) << np.uint64(42)) \

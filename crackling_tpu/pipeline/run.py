@@ -31,7 +31,7 @@ from ..constants import (
     MODULE_SPECIFICITY,
 )
 from ..index import build_index, load_native, read_reference_issl
-from ..index.extract import encode_seq, find_candidate_guides_seq
+from ..index.extract import find_candidate_guides_seq
 from ..ops import efficiency as eff
 from ..ops.issl_jax import IsslScorer
 from .logger import printer
