@@ -74,13 +74,17 @@ class IsslIndex:
     def _build_slices(self) -> None:
         n = self.num_sites
         s_count, b_count = self.slice_count, self.bucket_count
-        vals = self.slice_values(self.site_sigs)  # (S, N)
         order = np.empty((s_count, n), dtype=np.int32)
         offsets = np.empty((s_count, b_count + 1), dtype=np.int64)
         for s in range(s_count):
-            v = vals[s]
+            shift = np.uint64(s * self.slice_width)
+            mask = np.uint64(b_count - 1)
+            # narrow to the smallest dtype before sorting: numpy radix-sorts
+            # small ints, and the cast avoids (S, N) uint64 intermediates
+            v = ((self.site_sigs >> shift) & mask).astype(
+                np.uint8 if b_count <= 256 else np.uint16)
             order[s] = np.argsort(v, kind="stable").astype(np.int32)
-            counts = np.bincount(v.astype(np.int64), minlength=b_count)
+            counts = np.bincount(v, minlength=b_count)
             offsets[s, 0] = 0
             np.cumsum(counts, out=offsets[s, 1:])
         self.order = order
@@ -180,17 +184,19 @@ def build_index(
     # packing; sort numerically in lex space, then convert back.
     from .. import native
 
-    lex = _lofirst_to_lex(sigs, seq_length)
+    lex = native.lex_convert_native(sigs, seq_length)
+    if lex is None:
+        lex = _lofirst_to_lex(sigs, seq_length)
     lex_sorted = native.sort_u64_native(lex.copy())
-    if lex_sorted is not None:
-        uc = native.unique_counts_native(lex_sorted)
-    else:
-        uc = None
+    uc = (native.unique_counts_native(lex_sorted)
+          if lex_sorted is not None else None)
     if uc is not None:
         uniq_lex, counts = uc
     else:
         uniq_lex, counts = np.unique(lex, return_counts=True)
-    uniq = lex_to_lofirst(uniq_lex, seq_length)
+    uniq = native.lex_convert_native(uniq_lex, seq_length)
+    if uniq is None:
+        uniq = lex_to_lofirst(uniq_lex, seq_length)
     return IsslIndex(
         seq_length=seq_length,
         slice_width=slice_width,

@@ -71,6 +71,8 @@ def get_lib():
         lib.ct_sort_u64.argtypes = [u64p, i64]
         lib.ct_unique_counts.restype = i64
         lib.ct_unique_counts.argtypes = [u64p, i64, u64p, u32p]
+        lib.ct_lex_convert.restype = None
+        lib.ct_lex_convert.argtypes = [u64p, u64p, i64, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -120,3 +122,15 @@ def unique_counts_native(sorted_arr: np.ndarray):
     counts = np.empty(n, dtype=np.uint32)
     m = lib.ct_unique_counts(np.ascontiguousarray(sorted_arr), n, vals, counts)
     return vals[:m].copy(), counts[:m].copy()
+
+
+def lex_convert_native(arr: np.ndarray, length: int) -> np.ndarray | None:
+    """Bit-reverse-pairs conversion (low-first <-> lexicographic packing);
+    the transform is an involution so one entry point serves both ways."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr, dtype=np.uint64)
+    out = np.empty_like(arr)
+    lib.ct_lex_convert(arr, out, arr.shape[0], int(length))
+    return out

@@ -210,4 +210,20 @@ int64_t ct_unique_counts(const uint64_t* sorted, int64_t n,
     return m + 1;
 }
 
+// Bit-order conversion between low-first and big-endian (lexicographic)
+// 2-bit packings (see codec.py): out may alias in.
+void ct_lex_convert(const uint64_t* in, uint64_t* out, int64_t n, int length) {
+    #ifdef _OPENMP
+    #pragma omp parallel for
+    #endif
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t v = in[i];
+        uint64_t r = 0;
+        for (int j = 0; j < length; j++) {
+            r |= ((v >> (2 * j)) & 3ULL) << (2 * (length - 1 - j));
+        }
+        out[i] = r;
+    }
+}
+
 }  // extern "C"
