@@ -222,12 +222,34 @@ class Pipeline:
             sigs = strings_to_sigs(seqs, 20)
             index = build_index(sigs, seq_length=20, slice_width=8)
         method = cm["offtargetscore"]["method"].strip().lower()
-        self._issl_scorer = IsslScorer(
-            index,
-            max_dist=int(cm["offtargetscore"]["max-distance"]),
-            method=method,
-            threshold=float(cm["offtargetscore"]["score-threshold"]),
-        )
+        engine = cm["tpu"].get("engine", "auto")
+        if engine == "auto":
+            import jax
+
+            # the Pallas engine is the fast path on real TPUs; it scores in
+            # full (no early exit), which is verdict-exact except for the
+            # avg method (see PARITY.md) -> keep the order-exact XLA engine
+            # for avg and for CPU runs (where f64 gives bit-exact parity)
+            engine = ("pallas" if jax.default_backend() == "tpu"
+                      and method != "avg" else "xla")
+        if engine == "pallas":
+            from ..ops.issl_pallas import PallasIsslScorer
+
+            self._issl_scorer = PallasIsslScorer(
+                index, max_dist=int(cm["offtargetscore"]["max-distance"]))
+        else:
+            import jax
+            import jax.numpy as jnp
+
+            dtype = (jnp.float64 if jax.default_backend() == "cpu"
+                     and jax.config.jax_enable_x64 else jnp.float32)
+            self._issl_scorer = IsslScorer(
+                index,
+                dtype=dtype,
+                max_dist=int(cm["offtargetscore"]["max-distance"]),
+                method=method,
+                threshold=float(cm["offtargetscore"]["score-threshold"]),
+            )
         return self._issl_scorer
 
     def _get_genome_index(self):
