@@ -142,23 +142,28 @@ def _kernel(qoff_ref, boff_ref, blen_ref, qsorted_ref, q_lo_ref, q_hi_ref,
                         + jax.lax.population_count(coll_hi)).astype(jnp.int32)
                 hit = (dist <= max_dist) & in_bucket
 
-                # NOTE(perf): this vector->scalar reduction + branch costs
-                # ~1-2us/iteration (cross-unit sync) but measured 1.7x
-                # faster end-to-end than unconditional scoring; batching the
-                # check across several queries is the next optimization.
-                @pl.when(jnp.any(hit))
+                # first-clean-slice dedup IN THE SCAN PHASE: a hit counts in
+                # this program's slice only if no earlier slice matches
+                # exactly. Hits within max_dist match in several slices
+                # (always all 5 for self-hits), so gating the expensive
+                # phase on ``valid`` rather than ``hit`` skips the
+                # duplicate scoring passes entirely.
+                smask = jnp.uint32((1 << slice_width) - 1)
+                seen_earlier = jnp.zeros(hit.shape, dtype=jnp.bool_)
+                for sp in range(slice_count):
+                    shift = sp * slice_width
+                    word = x_lo if shift < 32 else x_hi
+                    sh = shift if shift < 32 else shift - 32
+                    clean_sp = ((word >> jnp.uint32(sh)) & smask) == 0
+                    seen_earlier = seen_earlier | (clean_sp & (sp < s))
+                valid = hit & ~seen_earlier
+
+                # NOTE(perf): the vector->scalar any() + branch costs ~1us
+                # (cross-unit sync) but skipping the ~2.7us scoring phase
+                # wins decisively (unconditional scoring measured 1.7x
+                # slower end-to-end).
+                @pl.when(jnp.any(valid))
                 def _score():
-                    # first-clean-slice dedup: count the hit here only if no
-                    # slice before this program's slice matches exactly
-                    smask = jnp.uint32((1 << slice_width) - 1)
-                    seen_earlier = jnp.zeros(hit.shape, dtype=jnp.bool_)
-                    for sp in range(slice_count):
-                        shift = sp * slice_width
-                        word = x_lo if shift < 32 else x_hi
-                        sh = shift if shift < 32 else shift - 32
-                        clean_sp = ((word >> jnp.uint32(sh)) & smask) == 0
-                        seen_earlier = seen_earlier | (clean_sp & (sp < s))
-                    valid = hit & ~seen_earlier
 
                     # per-position walk drives MIT T1 and the CFD selects
                     t1 = jnp.ones(hit.shape, dtype=jnp.float32)
