@@ -168,8 +168,7 @@ def _kernel(qoff_ref, boff_ref, blen_ref, qsorted_ref, q_lo_ref, q_hi_ref,
                     # per-position walk drives MIT T1 and the CFD selects
                     t1 = jnp.ones(hit.shape, dtype=jnp.float32)
                     cfdp = jnp.full(hit.shape, pam_ngg, dtype=jnp.float32)
-                    first = jnp.full(hit.shape, 99, dtype=jnp.int32)
-                    last = jnp.full(hit.shape, -1, dtype=jnp.int32)
+                    mm20 = jnp.zeros(hit.shape, dtype=jnp.int32)
                     for p in range(20):
                         # query base is a SCALAR: the four candidate CFD
                         # penalties for this position collapse to scalar
@@ -181,11 +180,10 @@ def _kernel(qoff_ref, boff_ref, blen_ref, qsorted_ref, q_lo_ref, q_hi_ref,
                             qb_s = (qh_s >> jnp.uint32(2 * (p - 16))) & jnp.uint32(3)
                             ob = (o_hi >> jnp.uint32(2 * (p - 16))) & jnp.uint32(3)
                         mm = ob != qb_s
+                        mm20 = mm20 | (mm.astype(jnp.int32) << p)
                         t1 = t1 * jnp.where(
                             mm, jnp.float32(1.0 - MIT_WEIGHTS[p]),
                             jnp.float32(1.0))
-                        first = jnp.where(mm & (first == 99), p, first)
-                        last = jnp.where(mm, p, last)
                         # pen = pos_pen[p, qb*4 + (ob^3)] via a select tree
                         # over the complemented off-target base
                         cob = ob ^ jnp.uint32(3)
@@ -198,6 +196,11 @@ def _kernel(qoff_ref, boff_ref, blen_ref, qsorted_ref, q_lo_ref, q_hi_ref,
                         pen = _select4(cob, tsel[0], tsel[1], tsel[2], tsel[3])
                         cfdp = cfdp * jnp.where(mm, pen, jnp.float32(1.0))
 
+                    # first/last mismatch positions via ctz/clz on the
+                    # 20-bit mask (branch-free; replaces 40 tile selects)
+                    nz = jnp.maximum(mm20, 1)
+                    first = jax.lax.population_count((nz & -nz) - 1)
+                    last = 31 - jax.lax.clz(nz)
                     m = dist.astype(jnp.float32)
                     d = jnp.where(
                         dist == 1, jnp.float32(19.0),
