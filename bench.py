@@ -124,16 +124,22 @@ def time_ours(index_npz, queries):
 
     engine = os.environ.get("BENCH_ENGINE", "auto")
     scorer = None
-    if engine in ("auto", "pallas"):
+    if engine in ("auto", "mxu"):
         try:
-            from crackling_tpu.ops.issl_pallas import PallasIsslScorer
+            from crackling_tpu.ops.issl_mxu import MxuIsslScorer
 
-            scorer = PallasIsslScorer(index, max_dist=4)
-            log("engine: pallas")
+            scorer = MxuIsslScorer(index, max_dist=4, method="and",
+                                   threshold=75.0)
+            log("engine: mxu (bit-exact)")
         except Exception as e:
-            if engine == "pallas":
+            if engine == "mxu":
                 raise
-            log(f"pallas engine unavailable ({e}); falling back to XLA engine")
+            log(f"mxu engine unavailable ({e}); falling back")
+    if scorer is None and engine == "pallas":
+        from crackling_tpu.ops.issl_pallas import PallasIsslScorer
+
+        scorer = PallasIsslScorer(index, max_dist=4)
+        log("engine: pallas")
     if scorer is None:
         from crackling_tpu.ops.issl_jax import IsslScorer
 
@@ -142,7 +148,7 @@ def time_ours(index_npz, queries):
         log("engine: xla")
 
     log("compiling + warmup")
-    scorer.score(queries[:32])
+    scorer.score(queries)  # full warmup: compiles every data-dependent shape
     t0 = time.time()
     mit, cfd = scorer.score(queries)
     dt = time.time() - t0

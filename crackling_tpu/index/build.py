@@ -206,6 +206,16 @@ def build_index(
     )
 
 
+def lex_to_lofirst_checked(lex: np.ndarray, length: int) -> np.ndarray:
+    """lex -> low-first packing via the native lib, numpy fallback."""
+    from .. import native
+
+    out = native.lex_convert_native(lex, length)
+    if out is None:
+        out = lex_to_lofirst(lex, length)
+    return out
+
+
 def _lofirst_to_lex(sig: np.ndarray, length: int) -> np.ndarray:
     out = np.zeros_like(sig)
     for j in range(length):

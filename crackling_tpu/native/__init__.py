@@ -73,6 +73,8 @@ def get_lib():
         lib.ct_unique_counts.argtypes = [u64p, i64, u64p, u32p]
         lib.ct_lex_convert.restype = None
         lib.ct_lex_convert.argtypes = [u64p, u64p, i64, ctypes.c_int]
+        lib.ct_merge_u64.restype = None
+        lib.ct_merge_u64.argtypes = [u64p, i64, u64p, i64, u64p]
         _lib = lib
         return _lib
 
@@ -122,6 +124,18 @@ def unique_counts_native(sorted_arr: np.ndarray):
     counts = np.empty(n, dtype=np.uint32)
     m = lib.ct_unique_counts(np.ascontiguousarray(sorted_arr), n, vals, counts)
     return vals[:m].copy(), counts[:m].copy()
+
+
+def merge_u64_native(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+    """Stable linear merge of two sorted uint64 arrays (None w/o the lib)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty(a.shape[0] + b.shape[0], dtype=np.uint64)
+    lib.ct_merge_u64(a, a.shape[0], b, b.shape[0], out)
+    return out
 
 
 def lex_convert_native(arr: np.ndarray, length: int) -> np.ndarray | None:

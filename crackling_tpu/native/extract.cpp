@@ -210,6 +210,18 @@ int64_t ct_unique_counts(const uint64_t* sorted, int64_t n,
     return m + 1;
 }
 
+// Linear merge of two sorted uint64 blocks (stable: ties take from a
+// first). Building block of the external-sort cascade that replaces the
+// reference's heapq.merge k-way file merge (extractOfftargets.py:130-191).
+void ct_merge_u64(const uint64_t* a, int64_t na, const uint64_t* b,
+                  int64_t nb, uint64_t* out) {
+    int64_t i = 0, j = 0, o = 0;
+    while (i < na && j < nb)
+        out[o++] = (b[j] < a[i]) ? b[j++] : a[i++];
+    if (i < na) memcpy(out + o, a + i, (na - i) * sizeof(uint64_t));
+    if (j < nb) memcpy(out + o, b + j, (nb - j) * sizeof(uint64_t));
+}
+
 // Bit-order conversion between low-first and big-endian (lexicographic)
 // 2-bit packings (see codec.py): out may alias in.
 void ct_lex_convert(const uint64_t* in, uint64_t* out, int64_t n, int length) {

@@ -90,14 +90,16 @@ def score_exact(
             lo = index.bucket_offsets[s, sv]
             hi = index.bucket_offsets[s, sv + 1]
             ids = index.order[s, lo:hi]
-            # vectorized distance pre-pass (value-identical: ints are exact)
+            # vectorized distance pre-pass (value-identical: ints are exact);
+            # entries beyond max_dist have no side effects in the reference
+            # loop (the `continue` at isslScoreOfftargets.cpp:382 touches
+            # neither the seen-set nor the sums), so restricting the Python
+            # replay to in-range hits preserves exact semantics
             xored = qsig ^ sites[ids]
             mismatches = collapse_mismatches(xored)
             dists = popcount64(mismatches)
-            for k in range(ids.shape[0]):
+            for k in np.flatnonzero(dists <= max_dist):
                 dist = int(dists[k])
-                if dist > max_dist:
-                    continue
                 site_id = int(ids[k])
                 if site_id in seen:
                     continue

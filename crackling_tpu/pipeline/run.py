@@ -226,13 +226,19 @@ class Pipeline:
         if engine == "auto":
             import jax
 
-            # the Pallas engine is the fast path on real TPUs; it scores in
-            # full (no early exit), which is verdict-exact except for the
-            # avg method (see PARITY.md) -> keep the order-exact XLA engine
-            # for avg and for CPU runs (where f64 gives bit-exact parity)
-            engine = ("pallas" if jax.default_backend() == "tpu"
-                      and method != "avg" else "xla")
-        if engine == "pallas":
+            # the MXU engine is bit-exact for every method (matmul
+            # neighbour finder + reference-order f64 replay), so it is the
+            # default on real TPUs; the order-exact XLA engine remains for
+            # CPU runs and as an explicit cross-check
+            engine = "mxu" if jax.default_backend() == "tpu" else "xla"
+        if engine == "mxu":
+            from ..ops.issl_mxu import MxuIsslScorer
+
+            self._issl_scorer = MxuIsslScorer(
+                index, max_dist=int(cm["offtargetscore"]["max-distance"]),
+                method=method,
+                threshold=float(cm["offtargetscore"]["score-threshold"]))
+        elif engine == "pallas":
             from ..ops.issl_pallas import PallasIsslScorer
 
             self._issl_scorer = PallasIsslScorer(

@@ -71,37 +71,27 @@ def main_extract_offtargets(argv=None):
                         help="accepted for compatibility (scan is vectorized)")
     parser.add_argument("--maxOpenFiles", type=int, default=None,
                         help="accepted for compatibility")
+    parser.add_argument("--run-size", type=int,
+                        default=64 * 1024 * 1024,
+                        help="external-sort spill run size (signatures)")
     args = parser.parse_args(argv)
 
     import glob
     import os
 
-    from ..codec import sigs_to_strings
-    from ..index.extract import extract_offtarget_sites_seq
+    from ..index.stream import stream_sorted_sites, write_sites_text
     from ..pipeline.logger import printer
-    from ..pipeline.run import Pipeline
 
     inputs = list(args.inputs)
     if len(inputs) == 1 and os.path.isdir(inputs[0]):
         inputs = sorted(glob.glob(os.path.join(inputs[0], "*")))
 
-    all_sigs = []
-    total = 0
-    for path in inputs:
-        for header, seq in Pipeline._parse_fasta(path):
-            sigs = extract_offtarget_sites_seq(seq, to_upper=True)
-            total += len(sigs)
-            all_sigs.append(sigs)
+    # memory-bounded path: chunked scan -> sorted spill runs -> merge
+    # cascade -> streamed text writer (reference external-sort semantics,
+    # extractOfftargets.py:130-253, without per-site Python strings)
+    total, blocks = stream_sorted_sites(inputs, run_size=args.run_size)
+    write_sites_text(blocks, args.output)
     printer(f"Processing completed. Found {total:,} targets.")
-    sigs = (np.concatenate(all_sigs) if all_sigs
-            else np.zeros(0, dtype=np.uint64))
-    # lexicographic sort to match the reference's external text sort
-    from ..index.build import _lofirst_to_lex
-
-    order = np.argsort(_lofirst_to_lex(sigs, 20), kind="stable")
-    seqs = sigs_to_strings(sigs[order], 20)
-    with open(args.output, "w") as fp:
-        fp.write("".join(s + "\n" for s in seqs))
     printer("Goodbye.")
 
 
