@@ -97,15 +97,81 @@ class ConfigManager:
     # -- internals ------------------------------------------------------
 
     def _load(self) -> bool:
-        try:
-            with open(self._config_file_path, "r") as fp:
-                self._parser.read_file(fp)
-        except Exception as e:
-            self._send_msg(f"Could not read config: {e}")
-            return False
+        # v1.0.0 configs are Python modules holding a CONFIG dict, passed
+        # without a file extension (ConfigManager.py:39-56); migrate them
+        # to the INI format exactly like the reference
+        _, ext = os.path.splitext(self._config_file_path)
+        loaded = ext == "" and self._v1_0_0_to_v1_1_0()
+        if not loaded:
+            try:
+                with open(self._config_file_path, "r") as fp:
+                    self._parser.read_file(fp)
+            except Exception as e:
+                self._send_msg(f"Could not read config: {e}")
+                return False
         # defaults for sections the reference config may omit
         if not self._parser.has_section("tpu"):
             self._parser.add_section("tpu")
+        return True
+
+    def _v1_0_0_to_v1_1_0(self) -> bool:
+        """Migrate a v1.0.0 dict-config (reference
+        ConfigManager.py:58-134): import the module, fill the consensus
+        tool switches the old format lacked, validate the required keys,
+        convert to INI sections, and write the ``<path>.ini`` copy."""
+        try:
+            import importlib
+
+            lib = importlib.import_module(self._config_file_path)
+            config = lib.CONFIG
+        except Exception:
+            self._send_msg("Yikes!!")
+            return False
+
+        if {"mm10db", "sgRNAScorer2", "CHOPCHOP"} != config["consensus"].keys():
+            config["consensus"]["mm10db"] = True
+            config["consensus"]["sgRNAScorer2"] = True
+            config["consensus"]["CHOPCHOP"] = True
+
+            required = [
+                ("consensus", "n"), ("input", "exon-sequences"),
+                ("input", "offtarget-sites"), ("input", "gff-annotation"),
+                ("input", "bowtie2-index"), ("output", "dir"),
+                ("output", "fileName"), ("output", "delimiter"),
+                ("offtargetscore", "binary"), ("offtargetscore", "threads"),
+                ("offtargetscore", "score-threshold"),
+                ("offtargetscore", "max-distance"),
+                ("sgrnascorer2", "model"), ("sgrnascorer2", "score-threshold"),
+                ("bowtie2", "binary"), ("bowtie2", "threads"),
+                ("rnafold", "binary"), ("rnafold", "threads"),
+                ("rnafold", "low_energy_threshold"),
+                ("rnafold", "high_energy_threshold"),
+            ]
+            ok = "name" in config and all(
+                s in config and k in config[s] for s, k in required)
+            if not ok:
+                self._send_msg(
+                    "Your v1.0.0 configuration is invalid. We suggest "
+                    "updating to the new format, defined as per v1.1.0. See "
+                    "the GitHub repository for a sample configuration file. "
+                    "https://github.com/bmds-lab/Crackling")
+                return False
+
+            self._parser.add_section("general")
+            for first in config:
+                if isinstance(config[first], dict):
+                    self._parser.add_section(first)
+                    for second in config[first]:
+                        self._parser.set(first, second,
+                                         str(config[first][second]))
+                else:
+                    self._parser.set("general", first, config[first])
+
+            new_name = f"{self._config_file_path}.ini"
+            self._send_msg("We have transformed your configuration file "
+                           f"into the new format. See {new_name}")
+            with open(new_name, "w+") as fp:
+                self._parser.write(fp)
         return True
 
     def _validate(self) -> bool:

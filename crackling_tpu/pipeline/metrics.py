@@ -24,18 +24,44 @@ from contextlib import contextmanager
 
 
 class Metrics:
-    def __init__(self, path: str | None = None):
+    def __init__(self, path: str | None = None,
+                 profile_dir: str | None = None):
         self.path = path
+        self.profile_dir = profile_dir
         self.stages: dict[str, float] = {}
         self.counters: dict[str, int] = {}
         self._t0 = time.time()
+        self._tracing = False
+
+    def _ensure_trace(self):
+        if self.profile_dir and not self._tracing:
+            import jax
+
+            jax.profiler.start_trace(self.profile_dir)
+            self._tracing = True
+
+    def close(self):
+        """Stop the profiler trace (no-op when profiling is off)."""
+        if self._tracing:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._tracing = False
 
     @contextmanager
     def stage(self, name: str):
+        self._ensure_trace()
         t0 = time.time()
+        if self._tracing:
+            import jax
+
+            ann = jax.profiler.TraceAnnotation(f"stage:{name}")
+            ann.__enter__()
         try:
             yield
         finally:
+            if self._tracing:
+                ann.__exit__(None, None, None)
             self.stages[name] = self.stages.get(name, 0.0) + time.time() - t0
             self.flush()
 
@@ -70,6 +96,7 @@ def config_fingerprint(config_parser) -> str:
 class ResumeManifest:
     def __init__(self, output_file: str, fingerprint: str):
         self.path = output_file + ".resume.json"
+        self.output_file = output_file
         self.fingerprint = fingerprint
         self.completed = -1
 
@@ -77,12 +104,21 @@ class ResumeManifest:
         return os.path.exists(self.path)
 
     def load(self) -> int:
-        """Number of already-completed batches (0 when no usable manifest)."""
+        """Number of already-completed batches (0 when no usable manifest).
+        Also truncates the output CSV back to the byte offset recorded with
+        the last completed batch, closing the crash window where a batch's
+        rows were appended but the batch was never marked complete (those
+        rows would otherwise be re-appended on resume)."""
         try:
             with open(self.path) as fp:
                 d = json.load(fp)
             if d.get("fingerprint") == self.fingerprint:
                 self.completed = int(d.get("completed_batches", 0))
+                csv_bytes = d.get("csv_bytes")
+                if csv_bytes is not None and os.path.exists(self.output_file):
+                    if os.path.getsize(self.output_file) > csv_bytes:
+                        with open(self.output_file, "r+b") as fp:
+                            fp.truncate(int(csv_bytes))
                 return self.completed
         except (OSError, ValueError):
             pass
@@ -90,11 +126,16 @@ class ResumeManifest:
 
     def mark(self, completed_batches: int, total: int):
         self.completed = completed_batches
+        try:
+            csv_bytes = os.path.getsize(self.output_file)
+        except OSError:
+            csv_bytes = None
         with open(self.path, "w") as fp:
             json.dump({
                 "fingerprint": self.fingerprint,
                 "completed_batches": completed_batches,
                 "total_batches": total,
+                "csv_bytes": csv_bytes,
             }, fp)
 
     def finish(self):

@@ -86,7 +86,10 @@ class Pipeline:
         self.cm = config_mngr
         self._issl_scorer = None
         self._genome_index = None
-        self.metrics = Metrics()
+        profile_dir = None
+        if config_mngr._parser.has_section("tpu"):
+            profile_dir = config_mngr["tpu"].get("profile-dir", None)
+        self.metrics = Metrics(profile_dir=profile_dir or None)
 
     # -- gating ---------------------------------------------------------
 
@@ -438,11 +441,14 @@ class Pipeline:
             self.metrics.count("candidates", len(records))
             self.metrics.count("duplicates", len(duplicates))
 
-            if start_batch == 0:
+            if start_batch == 0 and not (resume and manifest.exists()):
                 with open(out_path, "a+", newline="") as fp:
                     w = csv.writer(fp, delimiter=delim, quotechar='"',
                                    dialect="unix", quoting=csv.QUOTE_MINIMAL)
                     w.writerow(GUIDE_COLUMNS)
+                # manifest exists from the first byte on: a crash anywhere
+                # in batch 0 resumes by truncating back to the header
+                manifest.mark(0, 0)
 
             batch_size = int(cm["input"]["batch-size"])
             n_batches = max(1, -(-len(records) // batch_size)) if records else 0
@@ -472,6 +478,7 @@ class Pipeline:
                 printer(f"{t.n} guides evaluated.")
             manifest.finish()
             self.metrics.flush()
+            self.metrics.close()
             printer("Total run time {} seconds".format(time.time() - start_time))
         finally:
             sys.stdout = _stdout

@@ -46,9 +46,11 @@ def fold_constructs_vienna(rna_inputs: list[str], binary: str, threads: int,
         inp = os.path.join(td, "rnafold-input.txt")
         with open(inp, "w") as fp:
             fp.write("".join(s + "\n" for s in rna_inputs))
+        # argv list, no shell: the binary path comes from user config
+        # (reference runs through a shell, Helpers.py:39-42; the command
+        # semantics are identical without one)
         subprocess.run(
-            f"{binary} --noPS -j{threads} -i {inp} -o",
-            shell=True,
+            [binary, "--noPS", f"-j{threads}", "-i", inp, "-o"],
             check=True,
             cwd=td,
         )

@@ -31,8 +31,11 @@ def load_annotation(annotation_file: str, force_reload: bool = False):
     pickled = f"{annotation_file}.p"
     if os.path.exists(pickled) and not force_reload:
         try:
-            with open(pickled, "rb") as fp:
-                return tuple(pickle.load(fp))
+            # reuse the parsed annotation unless the GFF changed since the
+            # cache was written (reference reuse: countHitTranscripts.py:62-71)
+            if os.path.getmtime(pickled) >= os.path.getmtime(annotation_file):
+                with open(pickled, "rb") as fp:
+                    return tuple(pickle.load(fp))
         except Exception:
             pass
 
@@ -100,7 +103,7 @@ def count_transcripts(annot, gene_data, gene_to_mrna, seq_to_gene,
 def process(gff_path: str, crackling_path: str):
     """Append an m/n ``hits`` column to a Crackling results CSV
     (reference countHitTranscripts.py:197-243)."""
-    maps = load_annotation(gff_path, force_reload=True)
+    maps = load_annotation(gff_path, force_reload=False)
     results = []
     with open(crackling_path) as fp:
         reader = csv.reader(fp, delimiter=",", quotechar='"')

@@ -146,9 +146,10 @@ def test_full_pipeline(mini_world):
         window = chrom[start - 1:start + 22]
         from crackling_tpu.codec import rc
 
-        g20 = r[col["seq"]][:20]
-        assert g20 in (window[:20],) or rc(r[col["seq"]])[3:23] == window[3:23] \
-            or g20 == rc(window)[:20] or True  # at least one variant matched
+        # the located 23-mer window must contain the guide on one strand:
+        # forward (guide spelled out) or reverse (window is rc of the guide)
+        g23 = r[col["seq"]]
+        assert window in (g23, rc(g23)), (g23, window)
     # off-target scores for scored guides are in (0, 100]
     scored = [r for r in body if r[col["mitOfftargetscore"]] not in ("?", "")]
     for r in scored:
@@ -225,3 +226,41 @@ def test_pipeline_resume_skips_completed(mini_world, tmp_path):
     rows = out_file.read_text().strip().split("\n")
     assert len(rows) > 50
     assert not (outdir / "mini-guides.txt.resume.json").exists()
+
+
+def test_v1_0_0_config_migration(mini_world, tmp_path, monkeypatch):
+    """A v1.0.0 Python-dict config (reference ConfigManager.py:58-134)
+    loads, migrates to INI, and writes the <path>.ini copy."""
+    from crackling_tpu.pipeline.config import ConfigManager
+
+    outdir = tmp_path / "o"
+    outdir.mkdir()
+    mod = tmp_path / "oldconf.py"
+    mod.write_text(f"""
+CONFIG = {{
+    'name': 'legacy',
+    'consensus': {{'n': 2}},
+    'input': {{
+        'exon-sequences': r'{mini_world["exons"]}',
+        'offtarget-sites': r'{mini_world["sites"]}',
+        'gff-annotation': '',
+        'bowtie2-index': r'{mini_world["genome"]}',
+    }},
+    'output': {{'dir': r'{outdir}', 'fileName': 'g.txt', 'delimiter': ','}},
+    'offtargetscore': {{'binary': 'x', 'threads': 4,
+                        'score-threshold': 75, 'max-distance': 4}},
+    'sgrnascorer2': {{'model': 'shipped', 'score-threshold': 0}},
+    'bowtie2': {{'binary': 'x', 'threads': 4}},
+    'rnafold': {{'binary': 'x', 'threads': 4,
+                 'low_energy_threshold': -30, 'high_energy_threshold': -18}},
+}}
+""")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.syspath_prepend(str(tmp_path))
+    msgs = []
+    cm = ConfigManager("oldconf", msgs.append)
+    assert cm.isConfigured(), msgs
+    assert cm["general"]["name"] == "legacy"
+    assert cm["consensus"].getboolean("mm10db") is True
+    assert cm["offtargetscore"]["score-threshold"] == "75"
+    assert (tmp_path / "oldconf.ini").exists()
