@@ -32,6 +32,14 @@ class Logger:
         self.terminal.flush()
         self.log.flush()
 
+    def close(self):
+        # absl's atexit handler closes whatever sys.stderr points at;
+        # close only the log file, never the real terminal stream
+        try:
+            self.log.close()
+        except Exception:
+            pass
+
 
 def printer(string_format):
     """Timestamped progress line (reference Helpers.py:31-35)."""

@@ -41,21 +41,27 @@ from .secondary_structure import SecondaryStructureGate
 
 
 class GuideTable:
-    """Columnar per-batch guide state (replaces the per-guide dicts)."""
+    """Columnar per-batch guide state (replaces the per-guide dicts).
 
-    def __init__(self, seqs, headers, starts, ends, strands, is_dup):
-        self.n = len(seqs)
-        self.seq = np.asarray(seqs, dtype=object)
-        from ..codec import strings_to_sigs
+    Guides stay uint64 signatures end-to-end; the 23-mer strings are
+    rendered once (vectorized) for the CSV/secondary-structure surfaces
+    instead of round-tripping every candidate through Python strings
+    (the O(guides) dict loops SURVEY flags at Crackling.py:283-304)."""
 
-        self.sig23 = strings_to_sigs(list(seqs), 23) if self.n else np.zeros(0, np.uint64)
+    def __init__(self, sig23, headers, starts, ends, strands, is_dup):
+        self.n = len(sig23)
+        self.sig23 = np.asarray(sig23, dtype=np.uint64)
+        self.seq = np.array(sigs_to_strings(self.sig23, 23), dtype=object) \
+            if self.n else np.zeros(0, dtype=object)
         o = lambda v: np.array([v] * self.n, dtype=object)
         self.col = {name: o(CODE_UNTESTED) for name in GUIDE_COLUMNS}
         self.col["seq"] = self.seq
         self.col["isUnique"] = np.where(is_dup, CODE_REJECTED, CODE_ACCEPTED).astype(object)
         self.col["header"] = np.where(is_dup, CODE_AMBIGUOUS, np.asarray(headers, dtype=object))
-        self.col["start"] = np.where(is_dup, CODE_AMBIGUOUS, np.asarray(starts, dtype=object))
-        self.col["end"] = np.where(is_dup, CODE_AMBIGUOUS, np.asarray(ends, dtype=object))
+        self.col["start"] = np.where(is_dup, CODE_AMBIGUOUS,
+                                     np.asarray(starts).astype(object))
+        self.col["end"] = np.where(is_dup, CODE_AMBIGUOUS,
+                                   np.asarray(ends).astype(object))
         self.col["strand"] = np.where(is_dup, CODE_AMBIGUOUS, np.asarray(strands, dtype=object))
 
     def eq(self, name, value):
@@ -146,18 +152,26 @@ class Pipeline:
         """Scan input files; returns discovery-ordered unique guide records
         plus the duplicate set (reference Crackling.py:171-261)."""
         cm = self.cm
-        records = []           # (seq23, header, start, end, strand)
-        seen: dict[str, int] = {}
-        duplicates: set[str] = set()
         recorded_sequences: set[str] = set()
+
+        # per-sequence scans accumulate as typed arrays; all dedup /
+        # duplicate marking happens vectorized in signature space (no
+        # per-candidate Python, cf. the reference's per-guide dict loop
+        # at Crackling.py:223-231)
+        headers: list[str] = []
+        sig_parts: list[np.ndarray] = []
+        start_parts: list[np.ndarray] = []
+        strand_parts: list[np.ndarray] = []
+        hid_parts: list[np.ndarray] = []
+        file_bounds = [0]
+        file_paths = []
 
         for path in cm.getIterFilesToProcess():
             printer(f"Identifying possible target sites in: {path}")
+            file_paths.append(path)
             pairs = self._parse_fasta(path)
             # replicate the reference's previous-header gating incl. the
             # always-process-the-last-sequence quirk (Crackling.py:207-252)
-            num_identified = 0
-            num_dup = 0
             for k, (header, seq) in enumerate(pairs):
                 is_last = k == len(pairs) - 1
                 if not is_last and header in recorded_sequences and header != "":
@@ -166,18 +180,46 @@ class Pipeline:
                     continue
                 recorded_sequences.add(header)
                 starts, strands, sigs = find_candidate_guides_seq(seq)
-                seqs = sigs_to_strings(sigs, 23)
-                for s23, st, strand in zip(seqs, starts, strands):
-                    num_identified += 1
-                    if s23 in seen:
-                        duplicates.add(s23)
-                        num_dup += 1
-                    else:
-                        seen[s23] = len(records)
-                        records.append((s23, header, int(st), int(st) + 23, strand))
-            printer(f"\tIdentified {num_identified:,} possible target sites in this file.")
-            printer(f"\tRemoving {num_dup:,} duplicate-occurrence guides.")
-        return records, duplicates
+                hid = len(headers)
+                headers.append(header)
+                sig_parts.append(sigs)
+                start_parts.append(starts.astype(np.int64))
+                strand_parts.append((strands == "-").astype(np.int8))
+                hid_parts.append(np.full(sigs.shape[0], hid, dtype=np.int32))
+            file_bounds.append(sum(p.shape[0] for p in sig_parts))
+
+        cat = lambda parts, dt: (np.concatenate(parts) if parts
+                                 else np.zeros(0, dtype=dt))
+        sigs = cat(sig_parts, np.uint64)
+        starts = cat(start_parts, np.int64)
+        strands = cat(strand_parts, np.int8)
+        hids = cat(hid_parts, np.int32)
+
+        # first-occurrence dedup in scan order; count>1 => duplicate guide
+        uniq, first, counts = np.unique(sigs, return_index=True,
+                                        return_counts=True)
+        order = np.argsort(first, kind="stable")
+        keep = first[order]                       # record indices, scan order
+        dup_sigs = np.sort(uniq[counts > 1])
+
+        for f in range(len(file_paths)):
+            lo, hi = file_bounds[f], file_bounds[f + 1]
+            n_file = hi - lo
+            n_first = int(((first >= lo) & (first < hi)).sum())
+            printer(f"\tIdentified {n_file:,} possible target sites in "
+                    "this file.")
+            printer(f"\tRemoving {n_file - n_first:,} duplicate-occurrence "
+                    "guides.")
+
+        records = {
+            "sig23": sigs[keep],
+            "start": starts[keep],
+            "end": starts[keep] + 23,
+            "strand": strands[keep],
+            "hid": hids[keep],
+            "headers": headers,
+        }
+        return records, dup_sigs
 
     @staticmethod
     def _parse_fasta(path):
@@ -409,8 +451,7 @@ class Pipeline:
             printer(f"\t{failed:,} of {int(m.sum()):,} failed here.")
 
         printer("Writing results to file.")
-        for row in t.rows():
-            csv_writer.writerow(row)
+        csv_writer.writerows(zip(*(t.col[c] for c in GUIDE_COLUMNS)))
 
     # -- top level ------------------------------------------------------
 
@@ -437,9 +478,10 @@ class Pipeline:
 
             printer("Analysing files...")
             with self.metrics.stage("extract_candidates"):
-                records, duplicates = self.extract_candidates()
-            self.metrics.count("candidates", len(records))
-            self.metrics.count("duplicates", len(duplicates))
+                records, dup_sigs = self.extract_candidates()
+            n_records = records["sig23"].shape[0]
+            self.metrics.count("candidates", n_records)
+            self.metrics.count("duplicates", int(dup_sigs.shape[0]))
 
             if start_batch == 0 and not (resume and manifest.exists()):
                 with open(out_path, "a+", newline="") as fp:
@@ -451,20 +493,26 @@ class Pipeline:
                 manifest.mark(0, 0)
 
             batch_size = int(cm["input"]["batch-size"])
-            n_batches = max(1, -(-len(records) // batch_size)) if records else 0
+            n_batches = max(1, -(-n_records // batch_size)) if n_records else 0
+            headers_arr = np.array(records["headers"], dtype=object)
+            strand_lut = np.array(["+", "-"], dtype=object)
             for b in range(n_batches):
                 if b < start_batch:
                     continue
                 printer(f"Processing batch file {b + 1:,} of {n_batches}")
-                chunk = records[b * batch_size:(b + 1) * batch_size]
-                seqs = [r[0] for r in chunk]
-                is_dup = np.array([s in duplicates for s in seqs], dtype=bool)
+                sl = slice(b * batch_size, (b + 1) * batch_size)
+                sig23 = records["sig23"][sl]
+                # duplicate marking: binary search into the sorted dup set
+                pos = np.searchsorted(dup_sigs, sig23)
+                pos = np.minimum(pos, max(dup_sigs.shape[0] - 1, 0))
+                is_dup = (dup_sigs[pos] == sig23) if dup_sigs.size else \
+                    np.zeros(sig23.shape[0], dtype=bool)
                 t = GuideTable(
-                    seqs,
-                    [r[1] for r in chunk],
-                    [r[2] for r in chunk],
-                    [r[3] for r in chunk],
-                    [r[4] for r in chunk],
+                    sig23,
+                    headers_arr[records["hid"][sl]],
+                    records["start"][sl],
+                    records["end"][sl],
+                    strand_lut[records["strand"][sl]],
                     is_dup,
                 )
                 printer(f"\tLoaded {t.n:,} guides")
