@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).resolve().parent
-_SRC = _HERE / "extract.cpp"
+_SRCS = [_HERE / "extract.cpp", _HERE / "fold.cpp"]
 _LIB = _HERE / "_libcrackling_native.so"
 _lock = threading.Lock()
 _lib = None
@@ -28,7 +28,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-fopenmp",
-             "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
+             "-shared", "-fPIC", "-o", str(_LIB)] + [str(s) for s in _SRCS],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -46,7 +46,8 @@ def get_lib():
     with _lock:
         if _lib is not None or _disabled:
             return _lib
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _LIB.exists() or _LIB.stat().st_mtime < max(
+                s.stat().st_mtime for s in _SRCS):
             if not _build():
                 _disabled = True
                 return None
@@ -75,8 +76,35 @@ def get_lib():
         lib.ct_lex_convert.argtypes = [u64p, u64p, i64, ctypes.c_int]
         lib.ct_merge_u64.restype = None
         lib.ct_merge_u64.argtypes = [u64p, i64, u64p, i64, u64p]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.ct_fold_batch.restype = None
+        lib.ct_fold_batch.argtypes = [
+            u8p, i64, i64, f64p, f64p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
+
+
+def fold_batch_native(codes: np.ndarray, nthreads: int = 0):
+    """MFE-fold a (B, n) uint8 code batch with the C++ Zuker engine.
+
+    Returns (structures list[str], energies (B,) float64) or None when the
+    native library is unavailable. Energy model: ops/rna_params.py.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..ops.rna_params import param_blob
+
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    B, n = codes.shape
+    energies = np.empty(B, dtype=np.float64)
+    structures = np.empty((B, n), dtype=np.uint8)
+    lib.ct_fold_batch(codes, B, n, param_blob(), energies, structures,
+                      int(nthreads))
+    return ([bytes(row).decode() for row in structures], energies)
 
 
 def extract_offtargets_native(seq_bytes: bytes, to_upper: bool) -> np.ndarray | None:

@@ -4,83 +4,36 @@ TPU-native replacement for the reference's RNAfold subprocess call
 (/root/reference/src/crackling/Crackling.py:426-433). The pipeline folds the
 fixed-length 100-nt construct ``'G' + spacer[1:20] + scaffold`` — a fixed
 shape, so the whole O(n^3) dynamic program compiles once and runs batched
-over guides on the MXU/VPU.
+over guides on the VPU.
 
-Model: nearest-neighbor Watson-Crick/GU stacking with Turner-2004-style
-published parameters, hairpin/bulge/internal-loop length penalties with an
-asymmetry term, and an affine multiloop model (ViennaRNA decomposition into
-V / fML / fM1 / f5 tables). Dangles and tetraloop bonuses are not modeled,
-so energies/structures approximate RNAfold rather than reproduce it
-bit-for-bit; the ``vienna`` backend (pipeline/secondary_structure.py) is the
-parity oracle where the RNAfold binary exists.
+Energy model: ops/rna_params.py (shared with the native C++ engine,
+native/fold.cpp) — Turner-2004-style stacking, loop initiations with Ninio
+asymmetry, terminal mismatches, d2-style dangles on multiloop/exterior
+stems, special tetraloop bonuses. The two engines agree on the model
+bit-for-bit; cross-engine agreement is tested in tests/test_mfe.py.
 
-Traceback (dot-bracket structure) runs on host from the device-computed
-tables — it is O(n) sequential per guide and data-dependent, the one part
-of the algorithm that does not map to the TPU.
+Structure of the kernel: everything that depends only on the sequence
+(pair codes, hairpin energies, mismatch/stem weights) is precomputed as
+dense (B, n, n) host matrices; the jitted DP is a ``fori_loop`` over
+columns whose body is a handful of vector ops plus one (31, 31) window
+gather for the interior-loop transition — no Python-level unrolling, so
+compilation is seconds, not minutes, and the work is fully vectorized
+over (batch, i).
+
+Traceback (dot-bracket) runs on host from the device-computed tables — it
+is O(n) sequential per guide and data-dependent, the one part of the
+algorithm that does not map to the TPU. The pipeline's default fold
+backend is the native C++ engine, which does its own traceback.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 
-INF = 1e6
-MAXLOOP = 14  # max unpaired bases in a bulge/internal loop (speed/size cap)
+from . import rna_params as rp
 
-# base codes: A=0, C=1, G=2, U/T=3
-# pair types: 0 CG, 1 GC, 2 GU, 3 UG, 4 AU, 5 UA, -1 none
-_PAIR_CODE = -np.ones((4, 4), dtype=np.int32)
-for _k, (_a, _b) in enumerate([(1, 2), (2, 1), (2, 3), (3, 2), (0, 3), (3, 0)]):
-    _PAIR_CODE[_a, _b] = _k
-
-# Watson-Crick / wobble nearest-neighbor stacking free energies (kcal/mol),
-# Turner 2004 (public parameter set; e.g. rna.urmc.rochester.edu/NNDB).
-# STACK[p1, p2]: helix  5'-i  k-3' / 3'-j  l-5' with p1 = pair(i,j),
-# p2 = pair(k,l), k = i+1, l = j-1.
-_S = {
-    ("CG", "CG"): -3.26, ("CG", "GC"): -3.42, ("CG", "GU"): -2.11,
-    ("CG", "UG"): -1.41, ("CG", "AU"): -2.24, ("CG", "UA"): -2.08,
-    ("GC", "CG"): -2.36, ("GC", "GC"): -3.26, ("GC", "GU"): -1.53,
-    ("GC", "UG"): -2.51, ("GC", "AU"): -2.35, ("GC", "UA"): -2.11,
-    ("GU", "CG"): -2.51, ("GU", "GC"): -1.41, ("GU", "GU"): -0.50,
-    ("GU", "UG"): +1.29, ("GU", "AU"): -1.27, ("GU", "UA"): -1.00,
-    ("UG", "CG"): -1.53, ("UG", "GC"): -2.11, ("UG", "GU"): +0.30,
-    ("UG", "UG"): -0.50, ("UG", "AU"): -1.00, ("UG", "UA"): -0.80,
-    ("AU", "CG"): -2.11, ("AU", "GC"): -2.08, ("AU", "GU"): -1.00,
-    ("AU", "UG"): -0.80, ("AU", "AU"): -0.93, ("AU", "UA"): -1.10,
-    ("UA", "CG"): -2.35, ("UA", "GC"): -2.24, ("UA", "GU"): -1.27,
-    ("UA", "UG"): -1.00, ("UA", "AU"): -1.33, ("UA", "UA"): -0.93,
-}
-_PAIR_NAMES = ["CG", "GC", "GU", "UG", "AU", "UA"]
-
-# Loop-length initiation energies (kcal/mol), Turner 2004 tables with
-# Jacobson-Stockmayer extrapolation beyond 30.
-_HAIRPIN_INIT = [INF, INF, INF, 5.4, 5.6, 5.7, 5.4, 6.0, 5.5, 6.4, 6.5,
-                 6.6, 6.7, 6.8, 6.9, 6.9, 7.0, 7.1, 7.1, 7.2, 7.2, 7.3,
-                 7.3, 7.4, 7.4, 7.5, 7.5, 7.5, 7.6, 7.6, 7.7]
-_BULGE_INIT = [INF, 3.8, 2.8, 3.2, 3.6, 4.0, 4.4, 4.6, 4.7, 4.8, 4.9,
-               5.0, 5.1, 5.2, 5.3, 5.4, 5.4, 5.5, 5.5, 5.6, 5.7, 5.7,
-               5.8, 5.8, 5.8, 5.9, 5.9, 6.0, 6.0, 6.0, 6.1]
-_INTERNAL_INIT = [INF, INF, INF, INF, 1.1, 2.0, 2.0, 2.1, 2.3, 2.4, 2.5,
-                  2.6, 2.7, 2.8, 2.9, 2.9, 3.0, 3.1, 3.1, 3.2, 3.3, 3.3,
-                  3.4, 3.4, 3.5, 3.5, 3.5, 3.6, 3.6, 3.7, 3.7]
-_NINIO = 0.6          # asymmetry penalty per unpaired-count difference
-_NINIO_MAX = 3.0
-_ML_CLOSE = 3.4       # multiloop closing (a)
-_ML_BRANCH = 0.4      # per branch (b)
-_ML_UNPAIRED = 0.0    # per unpaired base (c), Turner 2004
-
-
-@lru_cache(maxsize=1)
-def _tables():
-    stack = np.full((7, 7), INF, dtype=np.float32)
-    for (a, b), v in _S.items():
-        stack[_PAIR_NAMES.index(a), _PAIR_NAMES.index(b)] = v
-    hp = np.asarray(_HAIRPIN_INIT, dtype=np.float32)
-    bulge = np.asarray(_BULGE_INIT, dtype=np.float32)
-    internal = np.asarray(_INTERNAL_INIT, dtype=np.float32)
-    return stack, hp, bulge, internal
+INF = rp.INF
+MAXLOOP = rp.MAXLOOP
 
 
 def encode_rna(seq: str) -> np.ndarray:
@@ -96,27 +49,101 @@ def encode_rna(seq: str) -> np.ndarray:
     return codes
 
 
-def _loop_energy_table(n: int):
-    """(a+1, b+1) -> energy for an internal loop/bulge/stack transition with
-    ``a`` unpaired on the 5' side and ``b`` on the 3' side (excluding the
-    pure stack case handled via the stacking table)."""
-    stack, hp, bulge, internal = _tables()
+def _precompute(codes: np.ndarray):
+    """Sequence-dependent dense matrices for the DP (host numpy, float64).
+
+    Returns dict with (B, n, n) matrices:
+      hp        full hairpin energy for closing pair (i, j)
+      mi_out    outer interior-loop mismatch for closing pair (i, j)
+      mi_in     inner interior-loop mismatch for inner pair (k, l)
+      mlw       multiloop stem weight for stem (k, l)  (excl. V)
+      extw      exterior stem weight for stem (k, j)   (excl. V)
+      mlclose   multiloop closing-pair contribution for (i, j)
+      stack2    stack[pc(i,j), pc(i+1,j-1)] style pairwise table is folded
+                into the DP via pc; pc itself is returned too.
+    """
+    t = rp.tables(512)
+    B, n = codes.shape
+    pc = rp.PAIR_CODE[codes[:, :, None], codes[:, None, :]]
+    pc = np.where(pc < 0, 6, pc).astype(np.int32)          # (B, n, n)
+    can_pair = pc != 6
+
+    i_idx = np.arange(n)
+    au = rp.PAIR_IS_AU[pc] * rp.TERMINAL_AU                 # (B, n, n)
+
+    # neighbors clipped to stay in range; boundary handling below
+    nxt = np.minimum(i_idx + 1, n - 1)
+    prv = np.maximum(i_idx - 1, 0)
+    s_ip1 = codes[:, nxt]          # s[i+1]
+    s_im1 = codes[:, prv]          # s[i-1]
+
+    # hairpin: init + (triloop: AU + tri bonus | >3: mismatch + special)
+    ls = i_idx[None, :] - i_idx[:, None] - 1                # (n, n) j - i - 1
+    ls_b = np.broadcast_to(ls, (B, n, n))
+    hp = t["hairpin"][np.clip(ls_b, 0, 512)].copy()
+    mm_h = t["mismatch_h"][pc, s_ip1[:, :, None], s_im1[:, None, :]]
+    hp += np.where(ls_b == 3, au, mm_h)
+    # special loops: packed subsequence codes
+    for L, key in ((3, "tri"), (4, "tetra"), (6, "hexa")):
+        tbl = t[key]
+        if not tbl.any():
+            continue
+        W = L + 2
+        if n < W:
+            continue
+        packs = np.zeros((B, n - W + 1), dtype=np.int64)
+        for m in range(W):
+            packs = packs * 4 + codes[:, m:n - W + 1 + m]
+        bonus = tbl[packs]                                  # (B, n-W+1)
+        ii = np.arange(n - W + 1)
+        hp[:, ii, ii + W - 1] += bonus
+    hp = np.where((ls_b >= 3) & can_pair, hp, INF)
+
+    # interior-loop mismatches
+    mi_out = t["mismatch_i"][pc, s_ip1[:, :, None], s_im1[:, None, :]]
+    pc_rev = rp.PAIR_REV[pc]
+    # inner pair (k, l): mm_i[rev(pc[k,l]), s[l+1], s[k-1]]
+    mi_in = t["mismatch_i"][pc_rev, s_ip1[:, None, :], s_im1[:, :, None]]
+
+    # d2 stem weights (boundary-aware): stem (k, l) gets
+    # mm[pc, s[k-1], s[l+1]] inside, or single dangles at the boundary
+    def stem_weight(mm_tbl):
+        both = mm_tbl[pc, s_im1[:, :, None], s_ip1[:, None, :]]
+        d5 = t["dangle5"][pc, s_im1[:, :, None]]
+        d3 = t["dangle3"][pc, s_ip1[:, None, :]]
+        k_is0 = (i_idx == 0)[None, :, None]
+        l_isn = (i_idx == n - 1)[None, None, :]
+        w = np.where(k_is0 & l_isn, 0.0,
+                     np.where(k_is0, d3,
+                              np.where(l_isn, d5, both)))
+        return w + au
+
+    mlw = stem_weight(t["mismatch_m"]) + rp.ML_INTERN
+    extw = stem_weight(t["mismatch_e"])
+
+    # multiloop closing pair (i, j): reversed pair, si1 = s[j-1], sj1 = s[i+1]
+    mlclose = (rp.ML_CLOSE + rp.ML_INTERN + au
+               + t["mismatch_m"][pc_rev, s_im1[:, None, :], s_ip1[:, :, None]])
+
+    return dict(pc=pc, can_pair=can_pair, hp=hp, mi_out=mi_out, mi_in=mi_in,
+                mlw=mlw, extw=extw, mlclose=mlclose,
+                stack=t["stack"], bulge=t["bulge"], internal=t["internal"])
+
+
+def _loop_grids():
+    """Static (MAXLOOP+1, MAXLOOP+1) interior-loop initiation grid
+    (init + Ninio; INF where invalid) and the bulge vector."""
+    t = rp.tables(512)
     L = MAXLOOP
-    e = np.full((L + 1, L + 1), INF, dtype=np.float32)
-    for a in range(L + 1):
-        for b in range(L + 1):
-            if a == 0 and b == 0:
-                continue  # stack handled separately
-            size = a + b
-            if size > L:
-                continue
-            if a == 0 or b == 0:
-                e[a, b] = bulge[min(size, 30)]
-            else:
-                e[a, b] = internal[min(size, 30)] + min(
-                    _NINIO_MAX, _NINIO * abs(a - b)
-                )
-    return e
+    a = np.arange(1, L)[:, None]
+    b = np.arange(1, L)[None, :]
+    grid = np.where(
+        a + b <= L,
+        t["internal"][np.clip(a + b, 0, 512)]
+        + np.minimum(rp.NINIO_MAX, rp.NINIO * np.abs(a - b)),
+        INF,
+    )
+    return grid  # (L-1, L-1) for a,b in 1..L-1
 
 
 def fold_batch(codes: np.ndarray):
@@ -124,171 +151,238 @@ def fold_batch(codes: np.ndarray):
 
     Parameters: ``codes`` (B, n) uint8. Returns ``(energy (B,), tables)``
     where ``tables`` is the dict of DP tables (host numpy) used by
-    :func:`traceback_batch`.
+    :func:`traceback`.
     """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     codes = np.asarray(codes)
     B, n = codes.shape
-    stack, hp, bulge, internal = _tables()
-    loop_e = _loop_energy_table(n)
+    pre = _precompute(codes)
+    grid = _loop_grids()                       # (29, 29)
+    L = MAXLOOP
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    pair_code = _PAIR_CODE[codes[:, :, None], codes[:, None, :]]  # (B,n,n)
-    can_pair = pair_code >= 0
-    pc = np.where(can_pair, pair_code, 6)
+    bulge_t = pre["bulge"][: L + 1].copy()     # (31,)
+    stack_t = pre["stack"]
+
+    def cast(x):
+        return jnp.asarray(np.asarray(x), dtype=dtype)
+
+    hp_j = cast(pre["hp"])
+    mi_out_j = cast(pre["mi_out"])
+    mi_in_j = cast(pre["mi_in"])
+    mlw_j = cast(pre["mlw"])
+    extw_j = cast(pre["extw"])
+    mlclose_j = cast(pre["mlclose"])
+    grid_j = cast(grid)
+    bulge_j = cast(bulge_t)
+    stack_j = cast(stack_t)
+    au_out = cast(rp.PAIR_IS_AU[pre["pc"]] * rp.TERMINAL_AU)
+    pc_j = jnp.asarray(pre["pc"])
+    can_j = jnp.asarray(pre["can_pair"])
+
+    iidx = jnp.arange(n)
+    a_in = jnp.arange(1, L)                    # interior a (29,)
+    b_in = jnp.arange(1, L)
+    a_bul = jnp.arange(0, L + 1)               # bulge sizes (31,)
 
     @jax.jit
-    def run(pc, can_pair):
-        stack_j = jnp.asarray(stack)
-        hp_j = jnp.asarray(hp)
-        loop_j = jnp.asarray(loop_e)
-        iidx = jnp.arange(n)
+    def run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j, mlclose_j, au_out,
+            pc_j, can_j):
+        INFD = jnp.asarray(INF, dtype)
 
-        V = jnp.full((B, n, n), INF, dtype=jnp.float32)
-        fML = jnp.full((B, n, n), INF, dtype=jnp.float32)
-        fM1 = jnp.full((B, n, n), INF, dtype=jnp.float32)
+        V0 = jnp.full((B, n, n), INFD, dtype=dtype)
+        W0 = V0 + mi_in_j                       # V + inner mismatch
+        Vau0 = V0                               # V + inner AU (for bulges)
+        fML0 = jnp.full((B, n, n), INFD, dtype=dtype)
+        fM10 = jnp.full((B, n, n), INFD, dtype=dtype)
+
+        def clipg(x):
+            return jnp.clip(x, 0, n - 1)
 
         def col(j, state):
-            V, fML, fM1 = state
-            # ----- V(i, j) for all i -----
-            # hairpin
-            ls = j - iidx - 1
-            e_hp = hp_j[jnp.clip(ls, 0, 30)]
-            e_hp = jnp.where(ls >= 3, e_hp, INF)
-            v_new = jnp.broadcast_to(e_hp[None, :], (B, n))
-            # stack + bulges/internal loops: V(i,j) <- e(a,b) + V(i+1+a, j-1-b)
-            for a in range(MAXLOOP + 1):
-                for b in range(MAXLOOP + 1):
-                    if a + b > MAXLOOP:
-                        continue
-                    kk = iidx + 1 + a          # inner 5' index per i
-                    ll = j - 1 - b             # inner 3' index (traced scalar)
-                    valid = kk < ll
-                    inner = V[:, jnp.clip(kk, 0, n - 1), jnp.clip(ll, 0, n - 1)]
-                    if a == 0 and b == 0:
-                        p1 = pc[:, iidx, j]
-                        p2 = pc[:, jnp.clip(kk, 0, n - 1), jnp.clip(ll, 0, n - 1)]
-                        e = stack_j[p1, p2]
-                    else:
-                        e = loop_j[a, b]
-                    cand = jnp.where(valid[None, :], e + inner, INF)
-                    v_new = jnp.minimum(v_new, cand)
-            # multiloop closure: a + min_k fML(i+1, k-1) + fM1(k, j-1)
-            # vector over i and k
-            fml_shift = fML[:, 1:, :]  # fML(i+1, *): (B, n-1, n)
-            # build min over k of fML(i+1, k-1) + fM1(k, j-1)
-            fm1_col = fM1[:, :, jnp.maximum(j - 1, 0)]       # (B, n) over k
+            V, W, Vau, fML, fM1 = state
+            # ----- V(i, j) -----
+            v_new = hp_j[:, :, j]
+            # stack (a=0, b=0)
+            kk0 = clipg(iidx + 1)
+            ll0 = clipg(j - 1)
+            p1 = pc_j[:, :, j]
+            p2 = pc_j[:, kk0, ll0]
+            st = stack_j[p1, p2] + V[:, kk0, ll0]
+            st = jnp.where((iidx + 1 < j - 1), st, INFD)
+            v_new = jnp.minimum(v_new, st)
+            # bulges: a = 0, b >= 1  (inner pair (i+1, j-1-b))
+            bsz = a_bul[1:]                                    # (30,)
+            llb = clipg(j - 1 - bsz)
+            p2b = pc_j[:, kk0[:, None], llb[None, :]]          # (B, n, 30)
+            innb = V[:, kk0[:, None], llb[None, :]]
+            vaub = Vau[:, kk0[:, None], llb[None, :]]
+            size1 = stack_j[p1[:, :, None], p2b] + bulge_j[1] + innb
+            sizeg = (bulge_j[bsz][None, None, :]
+                     + au_out[:, :, j][:, :, None] + vaub)
+            eb = jnp.where((bsz == 1)[None, None, :], size1, sizeg)
+            valid_b = (iidx[None, :, None] + 1) < (j - 1 - bsz)[None, None, :]
+            v_new = jnp.minimum(v_new, jnp.min(
+                jnp.where(valid_b, eb, INFD), axis=2))
+            # bulges: b = 0, a >= 1 (inner pair (i+1+a, j-1))
+            kka = clipg(iidx[:, None] + 1 + bsz[None, :])      # (n, 30)
+            p2a = pc_j[:, kka, ll0]
+            inna = V[:, kka, ll0]
+            vaua = Vau[:, kka, ll0]
+            size1a = stack_j[p1[:, :, None], p2a] + bulge_j[1] + inna
+            sizega = (bulge_j[bsz][None, None, :]
+                      + au_out[:, :, j][:, :, None] + vaua)
+            ea = jnp.where((bsz == 1)[None, None, :], size1a, sizega)
+            valid_a = (iidx[:, None] + 1 + bsz[None, :])[None] < (j - 1)
+            v_new = jnp.minimum(v_new, jnp.min(
+                jnp.where(valid_a, ea, INFD), axis=2))
+            # interior loops a,b >= 1 via the W window gather
+            kki = clipg(iidx[:, None] + 1 + a_in[None, :])     # (n, 29)
+            lli = clipg(j - 1 - b_in)                          # (29,)
+            win = W[:, kki[:, :, None], lli[None, None, :]]
+            # (B, n, 29, 29)
+            cand = grid_j[None, None] + win
+            valid_i = kki[:, :, None] < (j - 1 - b_in)[None, None, :]
+            cand = jnp.where(valid_i[None], cand, INFD)
+            v_new = jnp.minimum(
+                v_new, mi_out_j[:, :, j] + jnp.min(cand, axis=(2, 3)))
+            # multiloop closure
+            fm1_col = fM1[:, :, clipg(j - 1)]                  # (B, n) over k
+            # fML(i+1, k-1): shift rows i -> i+1, then cols k -> k-1
+            fml_shift = jnp.concatenate(
+                [fML[:, 1:, :], jnp.full((B, 1, n), INFD, dtype)], axis=1)
             fml_ik = jnp.concatenate(
-                [jnp.full((B, n - 1, 1), INF), fml_shift[:, :, :-1]], axis=2
-            )  # fML(i+1, k-1) at [b, i, k]
-            ml_min = jnp.min(fml_ik + fm1_col[:, None, :], axis=2)  # (B, n-1)
-            ml_min = jnp.concatenate([ml_min, jnp.full((B, 1), INF)], axis=1)
-            v_new = jnp.minimum(v_new, _ML_CLOSE + ml_min)
-            v_new = jnp.where(can_pair[:, :, j], v_new, INF)
-            v_new = jnp.where(iidx[None, :] < j, v_new, INF)
-            v_new = v_new.astype(jnp.float32)  # keep f32 under x64 promotion
-            V = V.at[:, :, j].set(v_new)
+                [jnp.full((B, n, 1), INFD, dtype), fml_shift[:, :, :-1]],
+                axis=2)                                        # [b, i, k]
+            ml_min = jnp.min(fml_ik + fm1_col[:, None, :], axis=2)
+            v_new = jnp.minimum(v_new, mlclose_j[:, :, j] + ml_min)
 
-            # ----- fM1(i, j) = min(fM1(i, j-1) + c, V(i,j) + b) -----
+            v_new = jnp.where(can_j[:, :, j] & (iidx[None, :] < j),
+                              v_new, INFD)
+            V = V.at[:, :, j].set(v_new)
+            W = W.at[:, :, j].set(v_new + mi_in_j[:, :, j])
+            Vau = Vau.at[:, :, j].set(
+                v_new + au_out[:, :, j])  # inner AU == outer AU of same pair
+
+            # ----- fM1(i, j) -----
             fm1_new = jnp.minimum(
-                fM1[:, :, jnp.maximum(j - 1, 0)] + _ML_UNPAIRED,
-                v_new + _ML_BRANCH,
+                fM1[:, :, clipg(j - 1)] + rp.ML_BASE,
+                v_new + mlw_j[:, :, j],
             )
-            fm1_new = fm1_new.astype(jnp.float32)
             fM1 = fM1.at[:, :, j].set(fm1_new)
 
             # ----- fML(i, j) -----
             fml_new = jnp.minimum(
-                fML[:, :, jnp.maximum(j - 1, 0)] + _ML_UNPAIRED, fm1_new
-            )
-            # branch concatenation: min_k fML(i, k-1) + fM1(k, j)
+                fML[:, :, clipg(j - 1)] + rp.ML_BASE, fm1_new)
             fml_ik2 = jnp.concatenate(
-                [jnp.full((B, n, 1), INF), fML[:, :, :-1]], axis=2
-            )  # fML(i, k-1) at [b, i, k]
+                [jnp.full((B, n, 1), INFD, dtype), fML[:, :, :-1]], axis=2)
             two = jnp.min(fml_ik2 + fm1_new[:, None, :], axis=2)
             fml_new = jnp.minimum(fml_new, two)
-            # left-unpaired bases: fML(i, j) <- fML(i+1, j) + c. With the
-            # Turner-2004 c == 0 this is a reverse cumulative min along i.
+            # left-unpaired: fML(i,j) <- fML(i+1,j) + base; with base == 0
+            # this is a reverse cumulative min along i
             fml_new = jnp.flip(
-                jax.lax.associative_scan(jnp.minimum, jnp.flip(fml_new, 1), axis=1),
-                1,
-            )
-            fML = fML.at[:, :, j].set(fml_new.astype(jnp.float32))
-            return V, fML, fM1
+                lax.associative_scan(jnp.minimum, jnp.flip(fml_new, 1),
+                                     axis=1), 1)
+            fML = fML.at[:, :, j].set(fml_new)
+            return V, W, Vau, fML, fM1
 
-        V, fML, fM1 = jax.lax.fori_loop(1, n, col, (V, fML, fM1))
+        V, W, Vau, fML, fM1 = lax.fori_loop(
+            1, n, col, (V0, W0, Vau0, fML0, fM10))
 
-        # external loop f5
+        # exterior loop
+        Vext = V + extw_j
+
         def ext(j, f5):
-            # f5(j) = min(f5(j-1), min_k f5(k-1) + V(k, j))
             prev = f5[:, j - 1]
-            vk = V[:, :, j]                       # (B, n) over k
+            vk = Vext[:, :, j]
             f5k = jnp.concatenate(
-                [jnp.zeros((B, 1)), f5[:, :-1]], axis=1
-            )  # f5(k-1); f5(-1) = 0
+                [jnp.zeros((B, 1), dtype), f5[:, :-1]], axis=1)
             best = jnp.min(f5k + vk, axis=1)
-            return f5.at[:, j].set(jnp.minimum(prev, best).astype(jnp.float32))
+            return f5.at[:, j].set(jnp.minimum(prev, best))
 
-        f5 = jnp.zeros((B, n), dtype=jnp.float32)
-        f5 = jax.lax.fori_loop(1, n, ext, f5)
+        f5 = jnp.zeros((B, n), dtype=dtype)
+        f5 = lax.fori_loop(1, n, ext, f5)
         return V, fML, fM1, f5
 
-    V, fML, fM1, f5 = run(np.asarray(pc), np.asarray(can_pair))
+    V, fML, fM1, f5 = run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j,
+                          mlclose_j, au_out, pc_j, can_j)
 
     tables = {
-        "V": np.asarray(V),
-        "fML": np.asarray(fML),
-        "fM1": np.asarray(fM1),
-        "f5": np.asarray(f5),
-        "pc": pc,
-        "can_pair": can_pair,
+        "eps": 1e-6 if dtype == jnp.float64 else 1e-2,
+        "V": np.asarray(V, dtype=np.float64),
+        "fML": np.asarray(fML, dtype=np.float64),
+        "fM1": np.asarray(fM1, dtype=np.float64),
+        "f5": np.asarray(f5, dtype=np.float64),
+        "pre": pre,
     }
-    energy = tables["f5"][:, n - 1].astype(np.float64)
+    energy = np.minimum(tables["f5"][:, n - 1], 0.0)
     return energy, tables
 
 
 def traceback(tables, b: int) -> str:
-    """Host traceback of one structure from the DP tables."""
+    """Host traceback of one structure from the DP tables (same model as
+    the DP; EPS-tolerant comparisons absorb f32 rounding)."""
     V = tables["V"][b]
     fML = tables["fML"][b]
     fM1 = tables["fM1"][b]
     f5 = tables["f5"][b]
-    pc = tables["pc"][b]
-    stack_t, hp, bulge, internal = _tables()
-    loop_e = _loop_energy_table(V.shape[0])
+    pre = tables["pre"]
+    hp = pre["hp"][b]
+    mi_out = pre["mi_out"][b]
+    mi_in = pre["mi_in"][b]
+    mlw = pre["mlw"][b]
+    extw = pre["extw"][b]
+    mlclose = pre["mlclose"][b]
+    pc = pre["pc"][b]
+    au = rp.PAIR_IS_AU[pc] * rp.TERMINAL_AU
+    stack_t = pre["stack"]
+    bulge_t = pre["bulge"]
+    grid = _loop_grids()
     n = V.shape[0]
+    L = MAXLOOP
     out = ["." for _ in range(n)]
-    EPS = 1e-3
+    # f64 tables allow exact-tie matching (same tolerance as the C++
+    # engine, so co-optimal ties break identically); f32 needs slack
+    EPS = tables.get("eps", 1e-2)
+
+    def loop_cost(i, j, k, l):
+        a, bb = k - i - 1, j - l - 1
+        size = a + bb
+        if size == 0:
+            return stack_t[pc[i, j], pc[k, l]]
+        if a == 0 or bb == 0:
+            if size == 1:
+                return stack_t[pc[i, j], pc[k, l]] + bulge_t[1]
+            return bulge_t[size] + au[i, j] + au[k, l]
+        return grid[a - 1, bb - 1] + mi_out[i, j] + mi_in[k, l]
 
     def trace_v(i, j):
         out[i] = "("
         out[j] = ")"
         e = V[i, j]
-        ls = j - i - 1
-        if ls >= 3 and abs(e - hp[min(ls, 30)]) < EPS:
+        if abs(e - hp[i, j]) < EPS:
             return
-        for a in range(MAXLOOP + 1):
-            for bb in range(MAXLOOP + 1):
-                if a + bb > MAXLOOP:
+        # candidate order matches native/fold.cpp (k ascending, l
+        # descending) so co-optimal ties break identically across engines
+        for k in range(i + 1, min(j - 1, i + 2 + L)):
+            for l in range(j - 1, max(k + 1, j - 1 - (L - (k - i - 1))) - 1, -1):
+                if pc[k, l] == 6:
                     continue
-                k, l = i + 1 + a, j - 1 - bb
-                if not (0 <= k < l < n):
-                    continue
-                le = (stack_t[pc[i, j], pc[k, l]] if a == 0 and bb == 0
-                      else loop_e[a, bb])
-                if abs(e - (le + V[k, l])) < EPS:
+                if abs(e - (loop_cost(i, j, k, l) + V[k, l])) < EPS:
                     trace_v(k, l)
                     return
-        # multiloop
         for k in range(i + 2, j):
-            if abs(e - (_ML_CLOSE + fML[i + 1, k - 1] + fM1[k, j - 1])) < EPS:
+            if abs(e - (mlclose[i, j] + fML[i + 1, k - 1]
+                        + fM1[k, j - 1])) < EPS:
                 trace_fml(i + 1, k - 1)
                 trace_fm1(k, j - 1)
                 return
 
     def trace_fm1(i, j):
-        while j > i and abs(fM1[i, j] - (fM1[i, j - 1] + _ML_UNPAIRED)) < EPS:
+        while j > i and abs(fM1[i, j] - (fM1[i, j - 1] + rp.ML_BASE)) < EPS:
             j -= 1
         trace_v(i, j)
 
@@ -297,10 +391,10 @@ def traceback(tables, b: int) -> str:
             if abs(fML[i, j] - fM1[i, j]) < EPS:
                 trace_fm1(i, j)
                 return
-            if i < j and abs(fML[i, j] - (fML[i + 1, j] + _ML_UNPAIRED)) < EPS:
+            if i < j and abs(fML[i, j] - (fML[i + 1, j] + rp.ML_BASE)) < EPS:
                 i += 1
                 continue
-            if j > i and abs(fML[i, j] - (fML[i, j - 1] + _ML_UNPAIRED)) < EPS:
+            if j > i and abs(fML[i, j] - (fML[i, j - 1] + rp.ML_BASE)) < EPS:
                 j -= 1
                 continue
             done = False
@@ -319,18 +413,15 @@ def traceback(tables, b: int) -> str:
                 j -= 1
                 continue
             found = False
-            for k in range(j, 0, -1):
+            for k in range(0, j - 3):
                 prev = f5[k - 1] if k >= 1 else 0.0
-                if abs(f5[j] - (prev + V[k, j])) < EPS:
+                if abs(f5[j] - (prev + V[k, j] + extw[k, j])) < EPS:
                     trace_v(k, j)
                     j = k - 1
                     found = True
                     break
             if not found:
-                if abs(f5[j] - V[0, j]) < EPS:
-                    trace_v(0, j)
-                j = -1
-        return
+                return
 
     if f5[n - 1] < INF / 2 and f5[n - 1] < -EPS:
         trace_f5(n - 1)
@@ -338,7 +429,7 @@ def traceback(tables, b: int) -> str:
 
 
 def fold_sequences(seqs: list[str]):
-    """Fold a list of equal-length RNA strings.
+    """Fold a list of equal-length RNA strings with the JAX engine.
 
     Returns (structures, energies) where structures are dot-bracket strings
     and energies are floats (kcal/mol, 0.0 for a fully unpaired strand).
@@ -348,5 +439,4 @@ def fold_sequences(seqs: list[str]):
     codes = np.stack([encode_rna(s) for s in seqs])
     energy, tables = fold_batch(codes)
     structures = [traceback(tables, b) for b in range(len(seqs))]
-    energy = np.minimum(energy, 0.0)
     return structures, energy

@@ -9,10 +9,16 @@ making the folding engine pluggable:
 
 * ``vienna`` — drives the RNAfold binary exactly like the reference
   (parity backend; used automatically when the binary is on PATH);
-* ``tpu`` — the batched JAX Zuker DP (ops/mfe.py). Approximate: energies
-  and structures are Turner-scale but not bit-identical to RNAfold, so
-  verdicts on this one sub-test may differ from the reference where the
-  fold is near a threshold or the structure motif differs.
+* ``native`` — the C++ Zuker engine (native/fold.cpp, OpenMP over the
+  batch; RNAfold-class speed). Energy model: ops/rna_params.py —
+  Turner-2004-style with d2 dangles; structures/energies approximate
+  RNAfold (see the provenance notes in rna_params), so verdicts on this
+  one sub-test may differ from the reference near the energy thresholds;
+* ``tpu`` — the batched JAX Zuker DP (ops/mfe.py), same energy model as
+  ``native`` (cross-engine agreement tested in tests/test_mfe.py); for
+  deployments without a host toolchain.
+
+``auto`` picks vienna > native > tpu.
 """
 
 from __future__ import annotations
@@ -68,6 +74,27 @@ def fold_constructs_tpu(rna_inputs: list[str]) -> list[str]:
     return [f"{s} ({e:6.2f})" for s, e in zip(structures, energies)]
 
 
+def fold_constructs_native(rna_inputs: list[str],
+                           threads: int = 0) -> list[str]:
+    """Fold with the C++ Zuker engine; returns RNAfold-style L2 lines.
+    Raises RuntimeError when the native library is unavailable."""
+    from ..native import fold_batch_native
+    from ..ops.mfe import encode_rna
+
+    codes = np.stack([encode_rna(s) for s in rna_inputs])
+    out = fold_batch_native(codes, nthreads=threads)
+    if out is None:
+        raise RuntimeError("native fold library unavailable")
+    structures, energies = out
+    return [f"{s} ({e:6.2f})" for s, e in zip(structures, energies)]
+
+
+def _native_available() -> bool:
+    from ..native import get_lib
+
+    return get_lib() is not None
+
+
 class SecondaryStructureGate:
     """Computes the mm10db secondary-structure verdict for target batches."""
 
@@ -76,8 +103,13 @@ class SecondaryStructureGate:
                  low_energy_threshold: float = -30.0,
                  high_energy_threshold: float = -18.0):
         if backend == "auto":
-            backend = "vienna" if shutil.which(binary) else "tpu"
-        if backend not in ("vienna", "tpu"):
+            if shutil.which(binary):
+                backend = "vienna"
+            elif _native_available():
+                backend = "native"
+            else:
+                backend = "tpu"
+        if backend not in ("vienna", "native", "tpu"):
             raise ValueError(f"unknown secondary-structure backend: {backend}")
         self.backend = backend
         self.binary = binary
@@ -118,6 +150,8 @@ class SecondaryStructureGate:
                 uniq_inputs.append(s)
         if self.backend == "vienna":
             l2_uniq = fold_constructs_vienna(uniq_inputs, self.binary, self.threads)
+        elif self.backend == "native":
+            l2_uniq = fold_constructs_native(uniq_inputs, self.threads)
         else:
             l2_uniq = fold_constructs_tpu(uniq_inputs)
 
