@@ -76,6 +76,8 @@ def get_lib():
         lib.ct_lex_convert.argtypes = [u64p, u64p, i64, ctypes.c_int]
         lib.ct_merge_u64.restype = None
         lib.ct_merge_u64.argtypes = [u64p, i64, u64p, i64, u64p]
+        lib.ct_pam_windows.restype = i64
+        lib.ct_pam_windows.argtypes = [u8p, i64, u64p, i64p, i64]
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.ct_fold_batch.restype = None
         lib.ct_fold_batch.argtypes = [
@@ -85,6 +87,21 @@ def get_lib():
         ]
         _lib = lib
         return _lib
+
+
+def pam_windows_native(codes: np.ndarray):
+    """(sig23, pos) of PAM-candidate windows over an encoded genome, or
+    None when the native lib is missing. Positions ascend."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    cap = max(16, n)
+    sig = np.empty(cap, dtype=np.uint64)
+    pos = np.empty(cap, dtype=np.int64)
+    count = lib.ct_pam_windows(codes, n, sig, pos, cap)
+    return sig[:count].copy(), pos[:count].copy()
 
 
 def fold_batch_native(codes: np.ndarray, nthreads: int = 0):

@@ -164,6 +164,44 @@ int64_t ct_extract_candidates(const char* seq, int64_t n,
     return count;
 }
 
+// PAM-candidate 23-mer windows over an already-encoded genome (codes 0..3,
+// 255 at record separators). Emits (low-first signature, position) for
+// every valid window that can match a guide PAM variant — forward windows
+// ending GG/AG or reverse-candidate windows starting CC/CT — in ascending
+// position order. Returns the count (writes up to cap). Backs the
+// positioning stage's persistent window index (pipeline/positioning.py).
+int64_t ct_pam_windows(const uint8_t* codes, int64_t n, uint64_t* out_sig,
+                       int64_t* out_pos, int64_t cap) {
+    if (n < 23) return 0;
+    const int64_t last = n - 22;
+    const uint64_t mask46 = (1ULL << 46) - 1;
+    int64_t count = 0;
+    uint64_t sig = 0;
+    int bad = 0;  // invalid codes among the current window's first 22 bases
+    for (int64_t j = 0; j < 22; j++) {
+        bad += codes[j] > 3;
+        sig |= (uint64_t)(codes[j] & 3) << (2 * j);
+    }
+    for (int64_t i = 0; i < last; i++) {
+        const uint8_t cl = codes[i + 22];
+        bad += cl > 3;
+        sig |= (uint64_t)(cl & 3) << 44;
+        const uint8_t c0 = codes[i], c1 = codes[i + 1], c21 = codes[i + 21];
+        const bool fwd = cl == 2 && (c21 == 2 || c21 == 0);
+        const bool rev = c0 == 1 && (c1 == 1 || c1 == 3);
+        if ((fwd || rev) && bad == 0) {
+            if (count < cap) {
+                out_sig[count] = sig;
+                out_pos[count] = i;
+            }
+            count++;
+        }
+        bad -= codes[i] > 3;
+        sig = (sig >> 2) & mask46;
+    }
+    return count;
+}
+
 // In-place parallel LSD radix sort of uint64 keys (8 passes x 8 bits).
 void ct_sort_u64(uint64_t* arr, int64_t n) {
     if (n < 2) return;

@@ -39,11 +39,22 @@ PAM_VARIANTS = [
 
 @dataclass
 class GenomeIndex:
-    """Concatenated 2-bit genome with per-record boundaries."""
+    """Concatenated 2-bit genome with per-record boundaries.
+
+    Carries a lazily-built persistent window index (sorted 23-mer
+    signatures of every window that can ever match a guide PAM variant),
+    so positioning pages cost O(page * log windows) instead of a full
+    genome rescan per page (the Bowtie2 FM-index role in the reference,
+    Crackling.py:600-725). Only ~1/4 of genome windows survive the PAM
+    prefilter (forward windows ending GG/AG, reverse-candidate windows
+    starting CC/CT), so the index costs ~4 bytes/bp signature + 8
+    bytes/bp position at 25% density."""
 
     names: list[str]
     codes: np.ndarray        # uint8 concatenated, 255 at separators
     starts: np.ndarray       # int64 offset of each record in codes
+    _win_sigs: np.ndarray | None = None
+    _win_pos: np.ndarray | None = None
 
     @classmethod
     def from_fasta(cls, path: str) -> "GenomeIndex":
@@ -85,6 +96,58 @@ class GenomeIndex:
         """Flat concatenated offsets -> (record index, 1-based position)."""
         rec = np.searchsorted(self.starts, flat_pos, side="right") - 1
         return rec, flat_pos - self.starts[rec] + 1
+
+    def window_index(self, chunk: int = 1 << 22):
+        """(sorted window signatures, flat positions) — built once.
+
+        Windows are ordered by (signature, position), so for any signature
+        the first entry in its searchsorted range is its lowest genomic
+        occurrence."""
+        if self._win_sigs is not None:
+            return self._win_sigs, self._win_pos
+        codes = self.codes
+        total = codes.shape[0]
+        from ..native import pam_windows_native
+
+        native = pam_windows_native(codes)
+        if native is not None:
+            sigs, pos = native
+            # stable sort on the signature preserves the scan's ascending
+            # position order within equal signatures
+            order = np.argsort(sigs, kind="stable")
+            self._win_sigs = sigs[order]
+            self._win_pos = pos[order]
+            return self._win_sigs, self._win_pos
+        sig_parts: list[np.ndarray] = []
+        pos_parts: list[np.ndarray] = []
+        for c0 in range(0, total, chunk):
+            c1 = min(total, c0 + chunk + 22)
+            sigs, pos = _window_sigs23(codes[c0:c1])
+            if c0 > 0:
+                keep = pos < chunk
+                sigs, pos = sigs[keep], pos[keep]
+            if sigs.size == 0:
+                continue
+            p = pos + c0
+            # PAM prefilter: a window can match a forward variant key only
+            # when bases 21,22 are GG/AG; it can match the rc of a variant
+            # key only when bases 0,1 are CC/CT (A=0 C=1 G=2 T=3)
+            w0, w1 = codes[p], codes[p + 1]
+            w21, w22 = codes[p + 21], codes[p + 22]
+            m = ((w22 == 2) & ((w21 == 2) | (w21 == 0))) \
+                | ((w0 == 1) & ((w1 == 1) | (w1 == 3)))
+            sig_parts.append(sigs[m])
+            pos_parts.append(p[m])
+        if sig_parts:
+            sigs = np.concatenate(sig_parts)
+            pos = np.concatenate(pos_parts)
+            order = np.lexsort((pos, sigs))
+            self._win_sigs = sigs[order]
+            self._win_pos = pos[order]
+        else:
+            self._win_sigs = np.zeros(0, dtype=np.uint64)
+            self._win_pos = np.zeros(0, dtype=np.int64)
+        return self._win_sigs, self._win_pos
 
 
 def _window_sigs23(codes: np.ndarray):
@@ -139,45 +202,26 @@ def position_guides(
     variants = variant_sigs(guide_sigs23)              # (n, 8)
     flat = variants.reshape(-1)
     rc_flat = rc_sig23(flat)
-    # search keys: forward-match key and the key a reverse-strand hit shows
-    keys = np.concatenate([flat, rc_flat])
-    owner = np.concatenate([np.arange(n * 8), np.arange(n * 8)])
-    order = np.argsort(keys, kind="stable")
-    keys_sorted = keys[order]
-    owner_sorted = owner[order]
 
-    counts = np.zeros(n * 8, dtype=np.int64)
-    first_pos = np.full(n * 8, np.iinfo(np.int64).max, dtype=np.int64)
+    win_sigs, win_pos = genome.window_index(chunk)
+    NOPOS = np.iinfo(np.int64).max
 
-    codes = genome.codes
-    total = codes.shape[0]
-    step = chunk
-    for c0 in range(0, total, step):
-        c1 = min(total, c0 + step + 22)  # overlap so windows span boundaries
-        sigs, pos = _window_sigs23(codes[c0:c1])
-        if c0 > 0:
-            keep = pos < step  # avoid double-counting overlap region
-            sigs, pos = sigs[keep], pos[keep]
-        if sigs.size == 0:
-            continue
-        idx = np.searchsorted(keys_sorted, sigs)
-        # a key may occur multiple times (fwd key of one guide == rc key of
-        # another); walk duplicates
-        m = idx < keys_sorted.shape[0]
-        while m.any():
-            sel = np.flatnonzero(m)
-            hit = keys_sorted[idx[sel]] == sigs[sel]
-            hs = sel[hit]
-            if hs.size:
-                v = owner_sorted[idx[hs]]
-                np.add.at(counts, v, 1)
-                np.minimum.at(first_pos, v, pos[hs] + c0)
-            idx[sel[hit]] += 1
-            m = np.zeros_like(m)
-            m[sel[hit]] = idx[sel[hit]] < keys_sorted.shape[0]
+    def lookup(keys):
+        if win_sigs.size == 0:
+            return (np.zeros(keys.shape, np.int64),
+                    np.full(keys.shape, NOPOS, np.int64))
+        lo = np.searchsorted(win_sigs, keys, side="left")
+        hi = np.searchsorted(win_sigs, keys, side="right")
+        cnt = hi - lo
+        first = np.where(
+            cnt > 0, win_pos[np.minimum(lo, win_pos.shape[0] - 1)], NOPOS)
+        return cnt, first
 
-    counts = counts.reshape(n, 8)
-    first_pos = first_pos.reshape(n, 8)
+    # forward-match key and the key a reverse-strand hit shows
+    c_fwd, f_fwd = lookup(flat)
+    c_rc, f_rc = lookup(rc_flat)
+    counts = (c_fwd + c_rc).reshape(n, 8)
+    first_pos = np.minimum(f_fwd, f_rc).reshape(n, 8)
     nb = np.minimum(counts, 2).sum(axis=1)
     passed = nb <= 1
 
