@@ -51,57 +51,98 @@ def shard_index(index: IsslIndex, n_shards: int) -> list[IsslIndex]:
     return shards
 
 
+def shard_bounds(num_sites: int, n_shards: int) -> list[tuple[int, int]]:
+    """Deterministic site-range split — every host computes the same
+    bounds (and hence the same pad size) from the global site count."""
+    b = [(num_sites * k) // n_shards for k in range(n_shards + 1)]
+    return [(b[k], b[k + 1]) for k in range(n_shards)]
+
+
 class ShardedIsslScorer:
-    """ISSL scorer over a device mesh: ('shard',) or ('q', 'shard')."""
+    """ISSL scorer over a device mesh.
+
+    Single-process meshes: ('shard',) or ('q', 'shard'). Multi-host
+    meshes (jax.distributed): ('host', 'q', 'shard') with the index
+    sharded over ``index_axes = ('host', 'shard')`` — the partial-sum
+    merge then psums over both axes, crossing DCN on 'host' and ICI on
+    'shard'. Construct with :meth:`from_local_shards` in multi-host mode
+    so each process only ever materializes its own site ranges
+    (SURVEY.md §2.3 distributed-backend row).
+    """
 
     def __init__(
         self,
-        index: IsslIndex,
+        index: IsslIndex | None,
         mesh: Mesh,
         max_dist: int | None = None,
         query_block: int = 256,
         work_block: int = 1 << 16,
         dtype=jnp.float32,
+        index_axes: tuple[str, ...] = ("shard",),
+        _local: dict | None = None,
     ):
-        if "shard" not in mesh.axis_names:
-            raise ValueError("mesh must have a 'shard' axis")
+        for a in index_axes:
+            if a not in mesh.axis_names:
+                raise ValueError(f"mesh must have a {a!r} axis")
         self.mesh = mesh
-        self.n_shards = mesh.shape["shard"]
+        self.index_axes = tuple(index_axes)
+        self.n_shards = int(np.prod([mesh.shape[a] for a in self.index_axes]))
         self.n_q = mesh.shape.get("q", 1)
         self.has_q_axis = "q" in mesh.axis_names
         self.query_block = int(query_block)
         self.dtype = jnp.dtype(dtype)
+        spec_sharded = P(self.index_axes)
 
-        shards = shard_index(index, self.n_shards)
-        npad = max(s.num_sites for s in shards)
-        stacked = {k: [] for k in ("list_lo", "list_hi", "list_occ", "bucket_offsets")}
-        for s in shards:
-            arrs = s.device_arrays(pad_to=npad)
-            for k in stacked:
-                stacked[k].append(arrs[k])
-        stacked = {k: np.stack(v) for k, v in stacked.items()}
+        if _local is None:
+            shards = shard_index(index, self.n_shards)
+            npad = max(s.num_sites for s in shards)
+            stacked = {k: [] for k in ("list_lo", "list_hi", "list_occ",
+                                       "bucket_offsets")}
+            for s in shards:
+                arrs = s.device_arrays(pad_to=npad)
+                for k in stacked:
+                    stacked[k].append(arrs[k])
+            stacked = {k: np.stack(v) for k, v in stacked.items()}
+            meta = dict(seq_length=index.seq_length,
+                        slice_width=index.slice_width,
+                        slice_count=index.slice_count,
+                        max_dist=index.max_dist)
 
-        spec_sharded = P("shard")
-        put = lambda a, p: jax.device_put(a, NamedSharding(mesh, p))
-        self.list_lo = put(stacked["list_lo"].reshape(self.n_shards, -1).view(np.uint32),
-                           spec_sharded)
-        self.list_hi = put(stacked["list_hi"].reshape(self.n_shards, -1).view(np.uint32),
-                           spec_sharded)
-        self.list_occ = put(stacked["list_occ"].reshape(self.n_shards, -1), spec_sharded)
+            def put(a, p):
+                return jax.device_put(a, NamedSharding(mesh, p))
+        else:
+            stacked, npad, meta = (_local["stacked"], _local["npad"],
+                                   _local["meta"])
+
+            def put(a, p):
+                sh = NamedSharding(mesh, p)
+                rows = self.n_shards  # global leading dim
+                return jax.make_array_from_process_local_data(
+                    sh, a, (rows,) + a.shape[1:])
+
+        self.list_lo = put(
+            stacked["list_lo"].reshape(stacked["list_lo"].shape[0], -1)
+            .view(np.uint32), spec_sharded)
+        self.list_hi = put(
+            stacked["list_hi"].reshape(stacked["list_hi"].shape[0], -1)
+            .view(np.uint32), spec_sharded)
+        self.list_occ = put(
+            stacked["list_occ"].reshape(stacked["list_occ"].shape[0], -1),
+            spec_sharded)
         self.bucket_offsets = put(stacked["bucket_offsets"], spec_sharded)
         self.pos_pen = put(
             np.broadcast_to(
                 cfd_pos_penalties().reshape(-1).astype(self.dtype),
-                (self.n_shards, 320),
+                (stacked["bucket_offsets"].shape[0], 320),
             ).copy(),
             spec_sharded,
         )
 
         self.cfg = ScorerConfig(
-            slice_count=index.slice_count,
-            slice_width=index.slice_width,
+            slice_count=meta["slice_count"],
+            slice_width=meta["slice_width"],
             work_block=int(work_block),
-            max_dist=index.max_dist if max_dist is None else int(max_dist),
+            max_dist=meta["max_dist"] if max_dist is None else int(max_dist),
             npad=npad,
             pam_ngg=float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX]),
             dtype=str(self.dtype),
@@ -110,10 +151,44 @@ class ShardedIsslScorer:
         )
         self._step = self._build_step()
 
+    @classmethod
+    def from_local_shards(
+        cls,
+        local_shards: list[IsslIndex],
+        mesh: Mesh,
+        global_num_sites: int,
+        *,
+        max_dist: int | None = None,
+        query_block: int = 256,
+        work_block: int = 1 << 16,
+        dtype=jnp.float32,
+        index_axes: tuple[str, ...] = ("host", "shard"),
+    ):
+        """Multi-host construction: this process supplies only its own
+        site-range shards (in global shard order for this host's rows of
+        the index axes); the global device array is assembled across
+        processes without any host materializing the full index."""
+        n_shards = int(np.prod([mesh.shape[a] for a in index_axes]))
+        bounds = shard_bounds(global_num_sites, n_shards)
+        npad = max(hi - lo for lo, hi in bounds)
+        stacked = {k: [] for k in ("list_lo", "list_hi", "list_occ",
+                                   "bucket_offsets")}
+        for s in local_shards:
+            arrs = s.device_arrays(pad_to=npad)
+            for k in stacked:
+                stacked[k].append(arrs[k])
+        stacked = {k: np.stack(v) for k, v in stacked.items()}
+        s0 = local_shards[0]
+        meta = dict(seq_length=s0.seq_length, slice_width=s0.slice_width,
+                    slice_count=s0.slice_count, max_dist=s0.max_dist)
+        return cls(None, mesh, max_dist=max_dist, query_block=query_block,
+                   work_block=work_block, dtype=dtype, index_axes=index_axes,
+                   _local=dict(stacked=stacked, npad=npad, meta=meta))
+
     def _build_step(self):
         cfg = self.cfg
         mesh = self.mesh
-        q_axes = ("q",) if self.has_q_axis else ()
+        index_axes = self.index_axes
 
         def per_device(q_lo, q_hi, q_valid, list_lo, list_hi, list_occ,
                        bucket_offsets, pos_pen):
@@ -122,13 +197,14 @@ class ShardedIsslScorer:
                 list_lo[0], list_hi[0], list_occ[0], bucket_offsets[0],
                 pos_pen[0],
             )
-            # merge partial sums across index shards (ICI collective)
-            mit = jax.lax.psum(mit, axis_name="shard")
-            cfd = jax.lax.psum(cfd, axis_name="shard")
+            # merge partial sums across index shards: ICI on 'shard',
+            # DCN on 'host' when the mesh has one
+            mit = jax.lax.psum(mit, axis_name=index_axes)
+            cfd = jax.lax.psum(cfd, axis_name=index_axes)
             return mit, cfd
 
-        qspec = P(*q_axes) if self.has_q_axis else P()
-        shard_spec = P("shard")
+        qspec = P("q") if self.has_q_axis else P()
+        shard_spec = P(self.index_axes)
         mapped = jax.shard_map(
             per_device,
             mesh=mesh,
@@ -137,6 +213,26 @@ class ShardedIsslScorer:
             out_specs=(qspec, qspec),
         )
         return jax.jit(mapped)
+
+    def _to_global(self, arr: np.ndarray):
+        """Host numpy -> global device array (replicated over 'host')."""
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        spec = P("q") if self.has_q_axis else P()
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, spec), arr, arr.shape)
+
+    @staticmethod
+    def _to_local(arr) -> np.ndarray:
+        """Global device array -> host numpy. Works in multi-host mode
+        because query outputs are replicated over 'host': this process's
+        addressable shards cover the full global array."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        out = np.empty(arr.shape, arr.dtype)
+        for sh in arr.addressable_shards:
+            out[sh.index] = np.asarray(sh.data)
+        return out
 
     def score_sums(self, query_sigs: np.ndarray):
         sigs = np.asarray(query_sigs, dtype=np.uint64)
@@ -152,14 +248,14 @@ class ShardedIsslScorer:
             lo, hi = sig_split(chunk)
             q_valid = np.arange(qb) < (qb - pad)
             m, c = self._step(
-                jnp.asarray(lo.view(np.uint32)),
-                jnp.asarray(hi.view(np.uint32)),
-                jnp.asarray(q_valid),
+                self._to_global(lo.view(np.uint32)),
+                self._to_global(hi.view(np.uint32)),
+                self._to_global(q_valid),
                 self.list_lo, self.list_hi, self.list_occ,
                 self.bucket_offsets, self.pos_pen,
             )
-            m = np.asarray(m, dtype=np.float64)
-            c = np.asarray(c, dtype=np.float64)
+            m = self._to_local(m).astype(np.float64)
+            c = self._to_local(c).astype(np.float64)
             mit[i:i + qb] = m[: qb - pad] if pad else m
             cfd[i:i + qb] = c[: qb - pad] if pad else c
         return mit, cfd
