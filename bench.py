@@ -159,7 +159,7 @@ def time_ours(index_npz, queries):
     log("compiling + warmup")
     scorer.score(queries)  # full warmup: compiles every data-dependent shape
     dt = float("inf")
-    for _ in range(3):    # min over repeats, like the baseline timing
+    for _ in range(5):    # min over repeats, like the baseline timing
         t0 = time.time()
         mit, cfd = scorer.score(queries)
         dt = min(dt, time.time() - t0)
