@@ -12,12 +12,22 @@ computes it by direct exact search over 2-bit-packed genome windows —
 no aligner, no SAM round trip.
 
 Recorded coordinates: the reference stores the chromosome/position of the
-first variant's reported alignment, which for real guides is the guide's own
-locus. We record the first exact occurrence (lowest chromosome order, then
-position) over the eight variants, 1-based like SAM POS, end = pos + 22
-(Crackling.py:683-689). This differs from Bowtie2 only when a guide has no
-exact genomic occurrence at all (then the reference records Bowtie2's
-best inexact alignment; we record none).
+**first variant's** (guide20 + AGG) reported alignment — SAM fields of
+``bowtieLines[i]`` at Crackling.py:670-689 — which Bowtie2 reports even
+when inexact. We emulate that: the AGG read's best alignment by mismatch
+count (exact, then 1-mismatch, then 2-mismatch over both strands), with a
+deterministic lowest-genomic-position tie-break where Bowtie2's choice
+among equals is pseudo-random; unaligned reads record the SAM no-hit
+fields ('*', 0, 22). Alignments are searched over the PAM-candidate
+window universe (windows ending GG/AG or starting CC/CT — the persistent
+index below): exact matches of a PAM-variant read always live there, and
+a real guide's own locus is always covered, so for pipeline guides this
+only replaces Bowtie2's pseudo-random equal-score choice; a window whose
+mismatches fall inside the PAM itself is not considered. Coordinates are 1-based like SAM POS, end = pos + 22.
+The shim Bowtie2 binary (utils/shims.py) implements the identical policy,
+so the CSV-parity harness closes column-for-column; only the tie-break
+among equal-score alignments can differ from a real Bowtie2 run
+(documented in PARITY.md).
 """
 
 from __future__ import annotations
@@ -185,18 +195,82 @@ def rc_sig23(sigs: np.ndarray) -> np.ndarray:
     return out
 
 
+def best_alignment(reads: np.ndarray, genome: GenomeIndex,
+                   max_mm: int = 2) -> np.ndarray:
+    """Deterministic Bowtie2-style best alignment of 23-mer reads.
+
+    Returns ``(pos, dist)``: the flat genomic position of each read's
+    best alignment — fewest mismatches first (up to ``max_mm``), lowest
+    position among equals, both strands — or (int64.max, -1) when
+    unaligned.
+    """
+    NOPOS = np.iinfo(np.int64).max
+    n = reads.shape[0]
+    win_sigs, win_pos = genome.window_index()
+    best = np.full(n, NOPOS, dtype=np.int64)
+    best_d = np.full(n, -1, dtype=np.int64)
+    if win_sigs.size == 0 or n == 0:
+        return best, best_d
+
+    def min_pos(keys2d):
+        """(m, K) keys -> per-row min window position over keys + rc."""
+        m, K = keys2d.shape
+        flat = keys2d.reshape(-1)
+        allk = np.concatenate([flat, rc_sig23(flat)])
+        lo = np.searchsorted(win_sigs, allk, side="left")
+        hi = np.searchsorted(win_sigs, allk, side="right")
+        first = np.where(
+            hi > lo, win_pos[np.minimum(lo, win_pos.shape[0] - 1)], NOPOS)
+        return np.minimum(first[: m * K], first[m * K:]) \
+            .reshape(m, K).min(axis=1)
+
+    unresolved = np.arange(n)
+    shifts = np.uint64(2) * np.arange(23, dtype=np.uint64)
+    for dist in range(max_mm + 1):
+        if unresolved.size == 0:
+            break
+        sub = reads[unresolved]
+        if dist == 0:
+            keys = sub[:, None]
+        elif dist == 1:
+            # all single-position substitutions (originals included: they
+            # cannot hit, or the read would have resolved at dist-1)
+            keys = ((sub[:, None, None]
+                     & ~(np.uint64(3) << shifts[None, :, None]))
+                    | (np.arange(4, dtype=np.uint64)[None, None, :]
+                       << shifts[None, :, None])).reshape(sub.shape[0], -1)
+        else:
+            p1, p2 = np.triu_indices(23, k=1)
+            b = np.arange(4, dtype=np.uint64)
+            bb1 = np.repeat(b, 4)
+            bb2 = np.tile(b, 4)
+            cleared = (sub[:, None, None]
+                       & ~(np.uint64(3) << shifts[p1])[None, :, None]
+                       & ~(np.uint64(3) << shifts[p2])[None, :, None])
+            keys = (cleared
+                    | (bb1[None, None, :] << shifts[p1][None, :, None])
+                    | (bb2[None, None, :] << shifts[p2][None, :, None])
+                    ).reshape(sub.shape[0], -1)
+        pos = min_pos(keys)
+        hit = pos != NOPOS
+        best[unresolved[hit]] = pos[hit]
+        best_d[unresolved[hit]] = dist
+        unresolved = unresolved[~hit]
+    return best, best_d
+
+
 def position_guides(
     guide_sigs23: np.ndarray,
     genome: GenomeIndex,
     chunk: int = 1 << 22,
 ):
-    """Exact-match positioning of guides against a genome.
+    """Positioning of guides against a genome (Bowtie2-stage equivalent).
 
     Returns ``(passed, chrom, start, end)`` where ``passed`` is the
-    Bowtie2-stage verdict (True == accepted: at most one perfect hit across
-    the 8 PAM variants), ``chrom`` is the record name ('?' when no exact
-    occurrence) and start/end are 1-based SAM-style coordinates (0 when
-    none).
+    Bowtie2-stage verdict (True == accepted: at most one perfect hit
+    across the 8 PAM variants), and chrom/start/end are the AGG-variant
+    read's best-alignment coordinates ('*', 0, 22 when unaligned) — see
+    the module docstring for the exact emulation policy.
     """
     n = guide_sigs23.shape[0]
     variants = variant_sigs(guide_sigs23)              # (n, 8)
@@ -218,22 +292,21 @@ def position_guides(
         return cnt, first
 
     # forward-match key and the key a reverse-strand hit shows
-    c_fwd, f_fwd = lookup(flat)
-    c_rc, f_rc = lookup(rc_flat)
+    c_fwd, _ = lookup(flat)
+    c_rc, _ = lookup(rc_flat)
     counts = (c_fwd + c_rc).reshape(n, 8)
-    first_pos = np.minimum(f_fwd, f_rc).reshape(n, 8)
     nb = np.minimum(counts, 2).sum(axis=1)
     passed = nb <= 1
 
-    has_hit = counts > 0
-    any_hit = has_hit.any(axis=1)
-    # first occurrence across variants (variant order, then position):
-    best = np.where(has_hit, first_pos, np.iinfo(np.int64).max).min(axis=1)
-    chrom = np.array(["?"] * n, dtype=object)
+    # coordinates: the AGG-variant read's best alignment (SAM line i of
+    # the reference's 8-line block, Crackling.py:670-689)
+    best, _ = best_alignment(variants[:, 0], genome)
+    any_hit = best != NOPOS
+    chrom = np.array(["*"] * n, dtype=object)
     start = np.zeros(n, dtype=np.int64)
     if any_hit.any():
         rec, pos1 = genome.locate(best[any_hit])
         chrom[any_hit] = [genome.names[r] for r in rec]
         start[any_hit] = pos1
-    end = np.where(any_hit, start + 22, 0)
+    end = start + 22
     return passed, chrom, start, end

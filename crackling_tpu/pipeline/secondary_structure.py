@@ -157,9 +157,11 @@ class SecondaryStructureGate:
 
         # reference keying: RNAstructures[transToDNA(L1[1:20])] = [L1, L2, target]
         # (Crackling.py:443-455); last write wins for duplicate keys.
+        # L1 comes from the RNAfold OUTPUT, which echoes the input with
+        # T -> U; store that form so the ssL1 column matches the reference.
         structures: dict[str, tuple[str, str, str]] = {}
         for s in inputs:
-            l1 = s
+            l1 = s.replace("T", "U")
             l2 = l2_uniq[uniq[s]]
             target = l1[0:20]
             structures[trans_to_dna(target[1:20])] = (l1, l2, target)

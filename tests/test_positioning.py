@@ -4,8 +4,8 @@ import numpy as np
 import pytest
 
 from crackling_tpu.codec import rc, strings_to_sigs
-from crackling_tpu.pipeline.positioning import (GenomeIndex, position_guides,
-                                                variant_sigs)
+from crackling_tpu.pipeline.positioning import (GenomeIndex, best_alignment,
+                                                position_guides, variant_sigs)
 
 PAMS = ["AGG", "CGG", "GGG", "TGG", "AAG", "CAG", "GAG", "TAG"]
 
@@ -23,11 +23,10 @@ def world(tmp_path, rng):
     return fa, {"c1": c1, "c2": c2}
 
 
-def brute(genome_by_name, guide23):
-    """Reference-rule positioning by plain string counting."""
+def brute_verdict(genome_by_name, guide23):
+    """Reference-rule verdict by plain string counting."""
     counts = []
-    first = None
-    for k, pam in enumerate(PAMS):
+    for pam in PAMS:
         v = guide23[:20] + pam
         c = 0
         for name, seq in genome_by_name.items():
@@ -38,23 +37,32 @@ def brute(genome_by_name, guide23):
                     if i < 0:
                         break
                     c += 1
-                    if first is None or (k, name, i) < first[:3]:
-                        pass
                     start = i + 1
         counts.append(c)
-    # first occurrence over variants: lowest position per variant order
-    best = None
-    for k, pam in enumerate(PAMS):
-        v = guide23[:20] + pam
-        for name, seq in genome_by_name.items():
-            for hay in (v, rc(v)):
-                i = seq.find(hay)
-                if i >= 0 and (best is None or i + 1 < best[1]):
-                    # positions compare across chroms by flat order c1<c2;
-                    # keep it simple: prefer c1 then c2, lower position
-                    pass
     passed = sum(min(c, 2) for c in counts) <= 1
     return passed, counts
+
+
+def brute_coord(genome_by_name, guide23, max_mm=2):
+    """The emulated-Bowtie2 coordinate policy by brute force: the AGG
+    read's best alignment over PAM-candidate windows — fewest mismatches,
+    then lowest flat genomic position (chroms in file order), both
+    strands."""
+    read = guide23[:20] + "AGG"
+    rcr = rc(read)
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    for mm in range(max_mm + 1):
+        for name, seq in genome_by_name.items():
+            for i in range(len(seq) - 22):
+                w = seq[i:i + 23]
+                if w[21:23] not in ("GG", "AG") and w[0:2] not in ("CC", "CT"):
+                    continue
+                if ham(w, read) == mm or ham(w, rcr) == mm:
+                    return name, i + 1
+    return "*", 0
 
 
 def test_positioning_verdicts_match_bruteforce(world, rng):
@@ -72,19 +80,56 @@ def test_positioning_verdicts_match_bruteforce(world, rng):
     passed, chrom, start, end = position_guides(sigs, gi)
 
     for i, g in enumerate(picks):
-        want_passed, counts = brute(chroms, g)
+        want_passed, counts = brute_verdict(chroms, g)
         assert passed[i] == want_passed, (g, counts)
-        if sum(counts) > 0:
-            assert chrom[i] in ("c1", "c2")
-            # the reported window must contain an exact variant occurrence
-            seq = chroms[chrom[i]]
-            window = seq[start[i] - 1:end[i]]
-            variants = {g[:20] + p for p in PAMS}
-            assert window in variants or rc(window) in variants
-        else:
-            assert chrom[i] == "?"
+        want_chrom, want_pos = brute_coord(chroms, g)
+        assert chrom[i] == want_chrom, g
+        assert start[i] == want_pos, g
+        assert end[i] == start[i] + 22
     # the planted repeat must be rejected
     assert not passed[len(picks) - 2]
+
+
+def test_best_alignment_mismatch_ladder(world, rng):
+    """Reads at hamming distance 0/1/2 from a genomic window resolve to
+    that window; hopeless reads stay unaligned."""
+    fa, chroms = world
+    gi = GenomeIndex.from_fasta(str(fa))
+    c1 = chroms["c1"]
+    # pick a PAM-candidate window (ends GG) so it is in the index universe
+    i0 = next(i for i in range(700, len(c1) - 23)
+              if c1[i + 21:i + 23] == "GG")
+    base = c1[i0:i0 + 23]
+    reads = [base]
+    r1 = list(base)
+    r1[5] = "A" if r1[5] != "A" else "C"
+    reads.append("".join(r1))
+    r2 = list(r1)
+    r2[15] = "A" if r2[15] != "A" else "C"
+    reads.append("".join(r2))
+    # a read that cannot align within 2 mismatches of anything
+    reads.append("A" * 23)
+    if "AAA" in c1 or "AAA" in chroms["c2"]:
+        pass  # poly-A stretches could make this alignable; tolerate below
+    sigs = strings_to_sigs(reads, 23)
+    best, dists = best_alignment(sigs, gi, max_mm=2)
+    NOPOS = np.iinfo(np.int64).max
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    for k, (read, b) in enumerate(zip(reads[:3], best[:3])):
+        assert b != NOPOS
+        rec, pos1 = gi.locate(np.array([b]))
+        seq = chroms[gi.names[rec[0]]]
+        w = seq[int(pos1[0]) - 1:int(pos1[0]) + 22]
+        d = min(ham(w, read), ham(w, rc(read)))
+        assert d <= 2
+        assert d == dists[k]
+    # the exact read resolves at distance 0
+    rec, pos1 = gi.locate(best[:1])
+    w = chroms[gi.names[rec[0]]][int(pos1[0]) - 1:int(pos1[0]) + 22]
+    assert w == base or rc(w) == base
 
 
 def test_variant_sigs_layout():
