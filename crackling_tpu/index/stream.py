@@ -224,6 +224,90 @@ def stream_sorted_sites(inputs: Iterable[str | Path],
     return sorter.total, sorter.sorted_blocks()
 
 
+def stream_sorted_sites_from_text(path: str | Path,
+                                  seq_length: int = 20,
+                                  tmp_dir: str | Path | None = None,
+                                  run_size: int = 64 * 1024 * 1024,
+                                  chunk_lines: int = 4 * 1024 * 1024):
+    """A site *text* file (one sequence per line, any order) ->
+    ``(total, block_iterator)`` over the lexicographically sorted site
+    stream — memory bounded by the spill-run size, never the file size
+    (the reference binary loads the whole file, isslCreateIndex.cpp:160-171).
+    """
+    from ..codec import strings_to_sigs
+    from ..index.build import _lofirst_to_lex
+    from .. import native
+
+    sorter = SpillSorter(tmp_dir=tmp_dir, run_size=run_size)
+    with open(path, "rb") as fp:
+        width = None
+        while True:
+            buf = fp.read((seq_length + 1) * chunk_lines)
+            if not buf:
+                break
+            if width is None:
+                nl = buf.find(b"\n")
+                width = (nl + 1) if nl >= 0 else len(buf)
+            # fixed-width lines: vectorized decode without str.split
+            rem = len(buf) % width
+            if rem:
+                buf += fp.read(width - rem)
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, width)
+            sigs = _pack_lines(arr, seq_length)
+            lex = native.lex_convert_native(sigs, seq_length)
+            if lex is None:
+                lex = _lofirst_to_lex(sigs, seq_length)
+            sorter.add(lex)
+    return sorter.total, sorter.sorted_blocks()
+
+
+def _pack_lines(arr: np.ndarray, seq_length: int) -> np.ndarray:
+    """(n, width) ASCII rows (sequence + newline) -> low-first signatures."""
+    table = np.full(256, 255, dtype=np.uint8)
+    for ch, c in zip(b"ACGTacgt", [0, 1, 2, 3, 0, 1, 2, 3]):
+        table[ch] = c
+    codes = table[arr[:, :seq_length]]
+    if (codes == 255).any():
+        bad = np.flatnonzero((codes == 255).any(axis=1))[0]
+        raise ValueError(
+            f"non-ACGT site line: {bytes(arr[bad, :seq_length])!r}")
+    sig = np.zeros(arr.shape[0], dtype=np.uint64)
+    for j in range(seq_length):
+        sig |= codes[:, j].astype(np.uint64) << np.uint64(2 * j)
+    return sig
+
+
+def build_index_from_sites_text(path: str | Path, seq_length: int = 20,
+                                slice_width: int = 8,
+                                tmp_dir: str | Path | None = None,
+                                run_size: int = 64 * 1024 * 1024):
+    """Site text file -> IsslIndex, memory bounded by the distinct-site
+    count (the createIsslIndex CLI's scale path)."""
+    from .build import IsslIndex, lex_to_lofirst_checked
+
+    total, blocks = stream_sorted_sites_from_text(
+        path, seq_length=seq_length, tmp_dir=tmp_dir, run_size=run_size)
+    val_parts, cnt_parts = [], []
+    for vals, counts in run_length(blocks):
+        val_parts.append(vals)
+        cnt_parts.append(counts)
+    if val_parts:
+        uniq_lex = np.concatenate(val_parts)
+        counts = np.concatenate(cnt_parts)
+    else:
+        uniq_lex = np.zeros(0, dtype=np.uint64)
+        counts = np.zeros(0, dtype=np.int64)
+    del val_parts, cnt_parts
+    uniq = lex_to_lofirst_checked(uniq_lex, seq_length)
+    return IsslIndex(
+        seq_length=seq_length,
+        slice_width=slice_width,
+        seq_count=int(total),
+        site_sigs=uniq,
+        occurrences=counts.astype(np.uint32),
+    )
+
+
 _LEX_LETTERS = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 

@@ -105,14 +105,14 @@ def main_create_issl_index(argv=None):
     parser.add_argument("output")
     args = parser.parse_args(argv)
 
-    from ..codec import strings_to_sigs
-    from ..index import build_index, save_native, write_reference_issl
+    from ..index import save_native, write_reference_issl
+    from ..index.stream import build_index_from_sites_text
 
-    with open(args.offtarget_sites) as fp:
-        seqs = fp.read().split()
-    sigs = strings_to_sigs(seqs, args.seq_length)
-    index = build_index(sigs, seq_length=args.seq_length,
-                        slice_width=args.slice_width_bits)
+    # streamed: memory bounded by the distinct-site count, not the file
+    # (the reference binary loads every occurrence, isslCreateIndex.cpp:160)
+    index = build_index_from_sites_text(
+        args.offtarget_sites, seq_length=args.seq_length,
+        slice_width=args.slice_width_bits)
     if args.output.endswith(".npz"):
         save_native(index, args.output)
     else:

@@ -1,0 +1,213 @@
+"""Mouse-scale rung: extract -> index -> score a >=300M-occurrence genome.
+
+Generates a repeat-rich synthetic genome (2.6 Gbp sampled from a 600 Mbp
+base pool — repetitive like a real mammalian genome, so occurrences pile
+onto ~75M distinct sites and the index fits one chip's HBM), then drives
+the full memory-bounded data path:
+
+  1. extractOfftargets CLI (streaming scan + external sort, text output)
+  2. createIsslIndex CLI   (streamed text -> index, distinct-bounded)
+  3. TPU scoring bench on the real chip vs the reference binary
+
+Peak-RSS of each stage is recorded via /usr/bin/time -v. Results are
+printed as a JSON line and appended to scripts/scale_rung_results.jsonl;
+BASELINE.md summarizes the ladder.
+
+Usage: python scripts/scale_rung.py [--gbp 2.6] [--pool-mbp 600]
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+DATA = ROOT / "bench_data" / "scale"
+REFERENCE = Path("/root/reference")
+
+
+def log(msg):
+    print(f"[scale] {msg}", file=sys.stderr, flush=True)
+
+
+def timed_cli(args, tag):
+    """Run a CLI, sampling peak RSS; returns (seconds, peak_rss_gb)."""
+    t0 = time.time()
+    p = subprocess.Popen(
+        [sys.executable, "-m", "crackling_tpu.utils.run_cli", *args],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=ROOT)
+    peak = 0
+    while p.poll() is None:
+        try:
+            with open(f"/proc/{p.pid}/status") as fp:
+                m = re.search(r"VmHWM:\s+(\d+) kB", fp.read())
+            if m:
+                peak = max(peak, int(m.group(1)))
+        except OSError:
+            pass
+        time.sleep(0.5)
+    dt = time.time() - t0
+    if p.returncode != 0:
+        raise RuntimeError(f"{tag} failed:\n{p.stderr.read()[-2000:]}")
+    rss = peak / 1e6
+    log(f"{tag}: {dt:.0f}s, peak RSS {rss:.1f} GB")
+    return dt, rss
+
+
+def make_genome(path, gbp, pool_mbp, seed=20260817):
+    if path.exists():
+        log(f"genome cached: {path}")
+        return
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    log(f"generating {pool_mbp} Mbp base pool")
+    pool = bases[rng.integers(0, 4, size=pool_mbp * 1_000_000)]
+    n_chunks = int(gbp * 1000 / 1)  # 1 Mbp chunks
+    chrom_chunks = max(1, n_chunks // 20)
+    log(f"writing {n_chunks} x 1 Mbp chunks sampled from the pool")
+    tmp = path.with_suffix(".tmp")
+    with open(tmp, "wb") as fp:
+        for c in range(n_chunks):
+            if c % chrom_chunks == 0:
+                fp.write(f">chr{c // chrom_chunks + 1}\n".encode())
+            off = int(rng.integers(0, pool.shape[0] - 1_000_000))
+            chunk = pool[off:off + 1_000_000]
+            # wrap at 100 cols, vectorized
+            rows = chunk.reshape(-1, 100)
+            out = np.empty((rows.shape[0], 101), dtype=np.uint8)
+            out[:, :100] = rows
+            out[:, 100] = ord("\n")
+            out.tofile(fp)
+    tmp.rename(path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gbp", type=float, default=2.6)
+    ap.add_argument("--pool-mbp", type=int, default=600)
+    ap.add_argument("--queries", type=int, default=16384)
+    ap.add_argument("--ref-queries", type=int, default=512)
+    args = ap.parse_args()
+
+    DATA.mkdir(parents=True, exist_ok=True)
+    genome = DATA / f"g{args.gbp:g}b.fa"
+    sites = DATA / "sites.txt"
+    index_npz = DATA / "scale.index.npz"
+    issl = DATA / "scale.issl"
+
+    make_genome(genome, args.gbp, args.pool_mbp)
+    results = {"genome_gbp": args.gbp, "pool_mbp": args.pool_mbp}
+
+    if not sites.exists():
+        dt, rss = timed_cli(
+            ["extractOfftargets", str(sites), str(genome)], "extract")
+        results["extract_s"] = round(dt, 1)
+        results["extract_rss_gb"] = round(rss, 2)
+    n_occurrences = sites.stat().st_size // 21
+    results["occurrences"] = int(n_occurrences)
+    log(f"{n_occurrences:,} site occurrences")
+
+    if not index_npz.exists():
+        dt, rss = timed_cli(
+            ["createIsslIndex", str(sites), "20", "8", str(index_npz)],
+            "index build")
+        results["build_s"] = round(dt, 1)
+        results["build_rss_gb"] = round(rss, 2)
+
+    from crackling_tpu.index import load_native, write_reference_issl
+
+    log("loading index")
+    index = load_native(str(index_npz))
+    results["distinct_sites"] = int(index.num_sites)
+    log(f"{index.num_sites:,} distinct sites")
+
+    if not issl.exists():
+        log("writing reference-format .issl for the baseline")
+        write_reference_issl(index, str(issl))
+
+    # queries: candidate guides from the first Mbp of the genome
+    from crackling_tpu.codec import sigs_to_strings
+    from crackling_tpu.index.extract import find_candidate_guides_seq
+
+    with open(genome) as fp:
+        fp.readline()
+        seq = "".join(fp.readline().strip() for _ in range(12000))
+    _, _, cand = find_candidate_guides_seq(seq)
+    queries = np.unique(cand & np.uint64((1 << 40) - 1))
+    rng = np.random.default_rng(7)
+    rng.shuffle(queries)
+    queries = queries[: args.queries]
+    log(f"{queries.shape[0]} queries")
+
+    # ---- our engine on the real chip ----
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    from crackling_tpu.ops.issl_pallas import PallasIsslScorer
+
+    t0 = time.time()
+    scorer = PallasIsslScorer(index, max_dist=4)
+    mit, cfd = scorer.score(queries)      # compile + warm
+    log(f"compile+warm {time.time() - t0:.0f}s")
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        mit, cfd = scorer.score(queries)
+        dt = min(dt, time.time() - t0)
+    ours_rate = queries.shape[0] / dt
+    results["ours_guides_per_s"] = round(ours_rate, 1)
+    log(f"ours: {dt:.2f}s -> {ours_rate:,.0f} guides/s")
+
+    # ---- reference baseline (two-size, load time removed) ----
+    refbin = ROOT / "bench_data" / "refbin" / "isslScoreOfftargets"
+    if not refbin.exists():
+        refbin.parent.mkdir(parents=True, exist_ok=True)
+        subprocess.run(
+            ["g++", "-O3", "-std=c++11", "-fopenmp", "-mpopcnt",
+             f"-I{REFERENCE}/src/ISSL/include", "-o", str(refbin),
+             str(REFERENCE / "src/ISSL/isslScoreOfftargets.cpp")],
+            check=True, capture_output=True)
+    q1 = DATA / "q1.txt"
+    q5 = DATA / "q5.txt"
+    qtext = "".join(
+        s + "\n" for s in sigs_to_strings(queries[: args.ref_queries], 20))
+    q1.write_text(qtext)
+    q5.write_text(qtext * 5)
+
+    def run_ref(qf):
+        t0 = time.time()
+        out = subprocess.run(
+            [str(refbin), str(issl), str(qf), "4", "75", "and"],
+            check=True, capture_output=True, text=True)
+        return time.time() - t0, out.stdout
+
+    t1, out1 = run_ref(q1)
+    t5, _ = run_ref(q5)
+    ref_rate = 4 * args.ref_queries / max(t5 - t1, 1e-9)
+    results["ref_guides_per_s"] = round(ref_rate, 1)
+    results["vs_baseline"] = round(ours_rate / ref_rate, 2)
+    log(f"reference: t(N)={t1:.0f}s t(5N)={t5:.0f}s -> {ref_rate:,.0f} "
+        f"guides/s; ratio {results['vs_baseline']}x")
+
+    # parity spot check at scale
+    lines = out1.strip().split("\n")
+    ref_mit = np.array([float(l.split("\t")[1]) for l in lines])
+    agree = float(np.mean(
+        np.abs(mit[: len(ref_mit)] - ref_mit) < 2e-2))
+    results["score_agreement"] = agree
+    log(f"score agreement: {agree:.4f}")
+
+    with open(ROOT / "scripts" / "scale_rung_results.jsonl", "a") as fp:
+        fp.write(json.dumps(results) + "\n")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,3 +115,24 @@ def test_lex_block_to_text_roundtrip(rng):
     lines = txt.strip().split("\n")
     want = sigs_to_strings(lex_to_lofirst_checked(lex, 20), 20)
     assert lines == list(want)
+
+
+def test_build_index_from_sites_text(tmp_path, genome_file):
+    """The streamed text->index CLI path matches the in-memory builder."""
+    path, recs = genome_file
+    total, blocks = stream_sorted_sites([path], run_size=1 << 14)
+    sites_txt = tmp_path / "sites.txt"
+    write_sites_text(blocks, sites_txt)
+
+    from crackling_tpu.index.stream import build_index_from_sites_text
+
+    sigs = np.concatenate([
+        extract_offtarget_sites_seq(seq.encode(), to_upper=True)
+        for _, seq in recs
+    ])
+    ref = build_index(sigs)
+    got = build_index_from_sites_text(sites_txt, run_size=1 << 14)
+    assert got.seq_count == ref.seq_count
+    assert (got.site_sigs == ref.site_sigs).all()
+    assert (got.occurrences == ref.occurrences).all()
+    assert (got.bucket_offsets == ref.bucket_offsets).all()
