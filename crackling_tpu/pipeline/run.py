@@ -221,6 +221,20 @@ class Pipeline:
         }
         return records, dup_sigs
 
+    def _spill_records(self, records):
+        """Spill candidate arrays to disk; reload memory-mapped."""
+        import tempfile
+
+        spill_dir = tempfile.mkdtemp(
+            prefix="crackling-batches-", dir=self.cm["output"]["dir"])
+        self._spill_dir = spill_dir  # kept until the Pipeline is released
+        out = dict(records)
+        for key in ("sig23", "start", "end", "strand", "hid"):
+            path = os.path.join(spill_dir, f"{key}.npy")
+            np.save(path, records[key])
+            out[key] = np.load(path, mmap_mode="r")
+        return out
+
     @staticmethod
     def _parse_fasta(path):
         """File -> ordered (header, joined-sequence) pairs; '' header for
@@ -494,6 +508,13 @@ class Pipeline:
 
             batch_size = int(cm["input"]["batch-size"])
             n_batches = max(1, -(-n_records // batch_size)) if n_records else 0
+            if n_batches > 1:
+                # multi-batch runs spill the candidate arrays to disk and
+                # reload them memory-mapped, so resident memory is bounded
+                # by the working batch, not the input (the Batchinator
+                # temp-CSV role, Batchinator.py:26-42, without the text
+                # round trip)
+                records = self._spill_records(records)
             headers_arr = np.array(records["headers"], dtype=object)
             strand_lut = np.array(["+", "-"], dtype=object)
             for b in range(n_batches):
@@ -525,6 +546,12 @@ class Pipeline:
                 manifest.mark(b + 1, n_batches)
                 printer(f"{t.n} guides evaluated.")
             manifest.finish()
+            if getattr(self, "_spill_dir", None):
+                records = None
+                import shutil
+
+                shutil.rmtree(self._spill_dir, ignore_errors=True)
+                self._spill_dir = None
             self.metrics.flush()
             self.metrics.close()
             printer("Total run time {} seconds".format(time.time() - start_time))

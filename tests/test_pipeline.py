@@ -264,3 +264,27 @@ CONFIG = {{
     assert cm["consensus"].getboolean("mm10db") is True
     assert cm["offtargetscore"]["score-threshold"] == "75"
     assert (tmp_path / "oldconf.ini").exists()
+
+
+def test_multibatch_spill_matches_single_batch(mini_world, tmp_path):
+    """batch-size smaller than the candidate count spills the record
+    arrays to disk (memmap-backed batches) and produces the same CSV as a
+    single-batch run; the spill dir is cleaned up afterwards."""
+    from crackling_tpu.pipeline.config import ConfigManager
+    from crackling_tpu.pipeline.run import Crackling
+
+    outdir = tmp_path / "mb-out"
+    outdir.mkdir()
+    text = mini_world["config"].read_text().replace(
+        str(mini_world["outdir"]), str(outdir)).replace(
+        "batch-size = 5000000", "batch-size = 150")
+    cfg = tmp_path / "config.ini"
+    cfg.write_text(text)
+    cm = ConfigManager(str(cfg), lambda m: None)
+    assert cm.isConfigured()
+    Crackling(cm)
+
+    single = (mini_world["outdir"] / "mini-guides.txt").read_text()
+    multi = (outdir / "mini-guides.txt").read_text()
+    assert multi == single
+    assert not list(outdir.glob("crackling-batches-*")), "spill not cleaned"
