@@ -322,7 +322,8 @@ class MxuIsslScorer:
         even = jnp.uint32(0xAAAAAAAA)
         odd = jnp.uint32(0x55555555)
 
-        def epilogue(packed_in, n, out):
+        def epilogue(packed_in, n, out, order_dev, uoff_dev,
+                     list_lo, list_hi, boffd, blensd):
             # All hit decoding happens ON DEVICE (tunnel D2H is ~32 ms
             # latency + ~23 MB/s, and host-side index gathers are
             # GIL-bound): slot-level moments resolve single-hit slots
@@ -345,7 +346,7 @@ class MxuIsslScorer:
                 return s, r // qb, r % qb
 
             def order_at(s_i, b_i, k_i):
-                return self.order_dev[s_i, self.uoff_dev[s_i, b_i] + k_i]
+                return order_dev[s_i, uoff_dev[s_i, b_i] + k_i]
 
             # single-hit slots: position-sum IS the in-bucket rank
             one = slot_cnt == 1.0
@@ -390,8 +391,8 @@ class MxuIsslScorer:
             start = boffd[rs, rb] + rseg * segw
             cols = jnp.arange(segw, dtype=jnp.int32)[None, :]
             gpos = jnp.minimum(start[:, None] + cols, epad - 1)
-            x_lo = self.list_lo[rs[:, None], gpos] ^ q_lo[rq][:, None]
-            x_hi = self.list_hi[rs[:, None], gpos] ^ q_hi[rq][:, None]
+            x_lo = list_lo[rs[:, None], gpos] ^ q_lo[rq][:, None]
+            x_hi = list_hi[rs[:, None], gpos] ^ q_hi[rq][:, None]
             c_lo = ((x_lo & even) >> 1) | (x_lo & odd)
             c_hi = ((x_hi & even) >> 1) | (x_hi & odd)
             dist = (jax.lax.population_count(c_lo)
@@ -424,9 +425,11 @@ class MxuIsslScorer:
                 [header, hits[:, :head_take].reshape(-1)])
             return first, hits
 
-        boffd = self.bucket_offsets
-        blensd = self.bucket_lens
         epad = self._epad
+        # index arrays are ARGUMENTS, never jit-captured constants: a
+        # captured device array is embedded in the compiled program, which
+        # at genome scale explodes compile payloads (HTTP 413 over the
+        # axon remote-compile tunnel) and the compilation cache
         fns = (jax.jit(prelude, static_argnums=1), jax.jit(call),
                jax.jit(epilogue, static_argnums=1))
         self._runs[qb] = fns
@@ -450,7 +453,10 @@ class MxuIsslScorer:
             gathered = prelude(packed_in, n)
             kout = kcall(self.bucket_offsets, self.bucket_lens,
                          gathered, self.planes)
-            first_d, hits_d = epilogue(packed_in, n, kout)
+            first_d, hits_d = epilogue(
+                packed_in, n, kout, self.order_dev, self.uoff_dev,
+                self.list_lo, self.list_hi, self.bucket_offsets,
+                self.bucket_lens)
             first = np.asarray(first_d)
             nh, n1, nm, nc, n2c, nrh = (int(x) for x in first[:6])
             if (n1 > self.cap_single or nm > self.cap_mslot
