@@ -274,12 +274,12 @@ class Pipeline:
         elif path.endswith(".issl"):
             index, _ = read_reference_issl(path)
         else:
-            from ..codec import strings_to_sigs
+            # site text list: streamed build, memory bounded by the
+            # distinct-site count (never the file size)
+            from ..index.stream import build_index_from_sites_text
 
-            with open(path) as fp:
-                seqs = fp.read().split()
-            sigs = strings_to_sigs(seqs, 20)
-            index = build_index(sigs, seq_length=20, slice_width=8)
+            index = build_index_from_sites_text(path, seq_length=20,
+                                                slice_width=8)
         method = cm["offtargetscore"]["method"].strip().lower()
         engine = cm["tpu"].get("engine", "auto")
         if engine == "auto":
