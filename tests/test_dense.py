@@ -1,0 +1,61 @@
+"""Dense-matmul engine (ops/issl_dense.py) vs the brute-force oracle.
+
+Interpret-mode pallas is expensive (the (5, 256) grid runs as Python), so
+one consolidated scenario exercises scoring accuracy, paging, duplicate
+queries in one bucket slot, and the and-method verdicts in two engine
+invocations.
+"""
+
+import numpy as np
+import pytest
+
+from crackling_tpu.index import build_index
+from crackling_tpu.ops.issl_dense import DenseIsslScorer
+from crackling_tpu.ops.oracle import score_bruteforce
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 1 << 40, size=600).astype(np.uint64)
+    mut = []
+    for sig in base[:150]:
+        pos = rng.integers(0, 20)
+        mut.append(
+            (np.uint64(sig) & ~(np.uint64(3) << np.uint64(2 * pos)))
+            | (np.uint64(rng.integers(0, 4)) << np.uint64(2 * pos))
+        )
+    sites = np.concatenate([base, np.array(mut, dtype=np.uint64)])
+    index = build_index(sites)
+    # self-hits, mutated neighbours, absent queries, AND duplicates (the
+    # same query occupying several slots of one bucket)
+    queries = np.concatenate([
+        base[:16],
+        rng.integers(0, 1 << 40, 8).astype(np.uint64),
+        np.repeat(base[3:5], 4),
+    ])
+    return index, queries
+
+
+def test_dense_engine_vs_bruteforce(data):
+    index, queries = data
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+
+    sc = DenseIsslScorer(index, max_dist=4, query_page=64, chunk=1024,
+                         interpret=True)
+    mit, cfd = sc.score_sums(queries)
+    np.testing.assert_allclose(mit, mit_b, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=2e-5, atol=1e-5)
+
+    # and-method verdicts agree with the oracle's full-scan verdicts
+    mit_s, cfd_s = sc.score(queries)
+    assert ((mit_s >= 75) == (10000.0 / (100.0 + mit_b) >= 75)).all()
+    assert ((cfd_s >= 75) == (10000.0 / (100.0 + cfd_b) >= 75)).all()
+
+    # paging: 2 pages (page < n) must reproduce the single-page sums
+    sc2 = DenseIsslScorer(index, max_dist=4, query_page=16, chunk=1024,
+                          interpret=True)
+    m2, c2 = sc2.score_sums(queries)
+    np.testing.assert_allclose(m2, mit, rtol=1e-6)
+    np.testing.assert_allclose(c2, cfd, rtol=1e-6)
