@@ -128,9 +128,10 @@ def time_ours(index_npz, queries):
     log(f"jax devices: {jax.devices()}")
     index = load_native(str(index_npz))
 
-    # the benchmark measures the production fast path (full-scan f32 Pallas
-    # engine, verdict-parity-checked below); the bit-exact MXU engine is
-    # benchmarked separately (BENCH_ENGINE=mxu) and validated in tests
+    # the benchmark measures the production fast path (full-scan f32
+    # dense-matmul engine, verdict-parity-checked below); the bit-exact MXU
+    # engine is benchmarked separately (BENCH_ENGINE=mxu) and validated in
+    # tests
     engine = os.environ.get("BENCH_ENGINE", "auto")
     scorer = None
     if engine == "mxu":
@@ -139,6 +140,16 @@ def time_ours(index_npz, queries):
         scorer = MxuIsslScorer(index, max_dist=4, method="and",
                                threshold=75.0)
         log("engine: mxu (bit-exact)")
+    if scorer is None and engine in ("auto", "dense"):
+        try:
+            from crackling_tpu.ops.issl_dense import DenseIsslScorer
+
+            scorer = DenseIsslScorer(index, max_dist=4)
+            log("engine: dense (matmul)")
+        except Exception as e:
+            if engine == "dense":
+                raise
+            log(f"dense engine unavailable ({e}); trying pallas")
     if scorer is None and engine in ("auto", "pallas"):
         try:
             from crackling_tpu.ops.issl_pallas import PallasIsslScorer

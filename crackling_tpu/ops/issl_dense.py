@@ -11,16 +11,14 @@ entry one-hot bit-planes and per-query weight vectors**, so the hot loop
 is pure MXU work plus a dense elementwise epilogue — no branches, no
 syncs, no gathers:
 
-* slice-digit matmul — weights ``8^slice(p)`` at each matched (position,
-  base) lane: the f32 sum is the base-8 digit string of per-slice match
-  counts (counts <= 4 < 8; total < 2^15, exact in f32). Decoding digits
-  gives the Hamming distance (20 - sum) and the first-clean-slice dedup
-  rule (a slice with digit 4 is an exact slice match — the stateless
-  equivalent of the reference's per-query seen-bitvector,
-  isslScoreOfftargets.cpp:385-387) in a few vector ops.
-* mask matmul — weights ``2^p`` at mismatched lanes: the sum IS the
-  20-bit mismatch-position mask (exact in f32), from which ctz/clz give
-  the first/last mismatch for MIT's T2 term.
+* mask matmul — weights ``2^p`` at mismatched (position, base) lanes:
+  the f32 sum IS the 20-bit mismatch-position mask, exactly (powers of
+  two are exact in bf16 and the sum < 2^24). From the mask alone:
+  ``popcount`` is the Hamming distance, ctz/clz give the first/last
+  mismatch for MIT's spread term, and a zero nibble at an earlier
+  slice's position range reproduces the first-clean-slice dedup rule
+  (the stateless equivalent of the reference's per-query seen-bitvector,
+  isslScoreOfftargets.cpp:385-387).
 * MIT / CFD log-matmuls — weights ``ln(1 - mit_w[p])`` /
   ``ln(cfd_pen[p, q_p, ot_p])`` at mismatched lanes; ``exp`` of the sums
   reconstructs the products (isslCreateIndex.cpp:93-118 /
@@ -28,10 +26,14 @@ syncs, no gathers:
   the matmuls run at full bf16 MXU rate with ~16-bit-mantissa accuracy
   (score parity stays at the f32 tier, verified vs the oracle in tests).
 
-Entry one-hot rows are unpacked on the fly from an interleaved
-``(entry, [lo, hi, occ, 0])`` u32 row layout (16 bytes/site/slice in HBM
-— the index, not a 128x one-hot expansion, is what lives in memory, so
-genome-scale indexes fit), double-buffered HBM->VMEM.
+TPU layout: Mosaic requires HBM slices to be 128-lane aligned in the
+minor dimension, so entries live as three deinterleaved ``(rows, 128)``
+u32 planes (sites on lanes, 12 bytes/site/slice — the packed index, not
+a one-hot expansion, is what sits in memory, so genome-scale indexes
+fit), double-buffered HBM->VMEM. Each 128-site lane group unpacks to a
+one-hot tile with the 128 (position, base) one-hot index on *sublanes*,
+so the weight matmuls contract over sublanes and land site-major
+``(128, qb)`` epilogue tiles directly.
 
 Like the Pallas engine this is full-scan: verdicts are exact for the
 mit/cfd/and/or methods; ops/issl_mxu.py remains the bit-exact engine
@@ -59,30 +61,30 @@ LOG_FLOOR = -80.0     # ln stand-in for zero penalties: exp(-80) == 0 in f32
 def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
             mit_ref, cfd_ref, buf, sems,
             *, chunk: int, qb: int, max_dist: int, slice_count: int,
-            slice_width: int, pam_ngg: float, epad: int):
+            pam_ngg: float, rows_per_slice: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    cg = chunk // LANES
     s = pl.program_id(0)
     v = pl.program_id(1)
     b0 = boff_ref[s, v]
     blen = blen_ref[s, v]
     nch = pl.cdiv(blen, jnp.int32(chunk))
-    row_base = s * epad + b0
+    row_base = s * rows_per_slice + b0 // LANES
 
-    # per-bucket weight block (1, 1, 6, 128, qb) f32:
-    # [0] digits, [1] mask, [2] mit_hi, [3] mit_lo, [4] cfd_hi, [5] cfd_lo
-    wd = wts_ref[0, 0, 0].astype(jnp.bfloat16)
-    wm = wts_ref[0, 0, 1].astype(jnp.bfloat16)
-    wt_hi = wts_ref[0, 0, 2].astype(jnp.bfloat16)
-    wt_lo = wts_ref[0, 0, 3].astype(jnp.bfloat16)
-    wc_hi = wts_ref[0, 0, 4].astype(jnp.bfloat16)
-    wc_lo = wts_ref[0, 0, 5].astype(jnp.bfloat16)
+    # per-bucket weight block (1, 1, 5, 128, qb) bf16:
+    # [0] mask, [1] mit_hi, [2] mit_lo, [3] cfd_hi, [4] cfd_lo
+    wm = wts_ref[0, 0, 0]
+    wt_hi = wts_ref[0, 0, 1]
+    wt_lo = wts_ref[0, 0, 2]
+    wc_hi = wts_ref[0, 0, 3]
+    wc_lo = wts_ref[0, 0, 4]
 
     def dma(slot, c):
-        row0 = pl.multiple_of(row_base + c * chunk, ALIGN)
+        r0 = pl.multiple_of(row_base + c * cg, ALIGN // LANES)
         return pltpu.make_async_copy(
-            entries_hbm.at[pl.ds(row0, chunk), :], buf.at[slot],
+            entries_hbm.at[:, pl.ds(r0, cg), :], buf.at[slot],
             sems.at[slot])
 
     mit_ref[0, 0] = jnp.zeros((8, qb), jnp.float32)
@@ -92,14 +94,19 @@ def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
     def _process():
         dma(0, 0).start()
 
-        # one-hot lane decomposition: lane j = 4p + b fires when the
-        # entry's base(p) == b; built from lane-broadcast packed words
-        j = jax.lax.broadcasted_iota(jnp.uint32, (chunk, LANES), 1)
+        # one-hot sublane decomposition: sublane j = 4p + b fires when
+        # the entry's base(p) == b; built from sublane-broadcast words
+        j = jax.lax.broadcasted_iota(jnp.uint32, (LANES, LANES), 0)
         jp = j >> 2
         jb = j & 3
         sh = (jp * 2) % 32
         use_hi = jp >= 16
-        erow = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        site_sub = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+        cdims = (((0,), (0,)), ((), ()))
+
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, cdims, preferred_element_type=jnp.float32)
 
         def body(c, carry):
             acc_mit, acc_cfd = carry
@@ -111,71 +118,69 @@ def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
 
             dma(slot, c).wait()
 
-            rows = buf[slot]                          # (chunk, 4) u32
-            lo_c = rows[:, 0:1]                       # (chunk, 1)
-            hi_c = rows[:, 1:2]
-            occ_c = rows[:, 2:3]
-            word = jnp.where(use_hi, hi_c, lo_c)      # lane broadcast
-            code = (word >> sh) & jnp.uint32(3)
-            e = (code == jb).astype(jnp.bfloat16)     # (chunk, 128)
+            lo2 = buf[slot, 0]                       # (cg, 128) u32
+            hi2 = buf[slot, 1]
+            occt = jnp.transpose(                    # (128, cg) f32
+                buf[slot, 2].astype(jnp.int32).astype(jnp.float32))
 
-            digits = jnp.dot(e, wd, preferred_element_type=jnp.float32)
-            maskf = jnp.dot(e, wm, preferred_element_type=jnp.float32)
-            mit_log = (jnp.dot(e, wt_hi, preferred_element_type=jnp.float32)
-                       + jnp.dot(e, wt_lo, preferred_element_type=jnp.float32))
-            cfd_log = (jnp.dot(e, wc_hi, preferred_element_type=jnp.float32)
-                       + jnp.dot(e, wc_lo, preferred_element_type=jnp.float32))
+            for g in range(cg):
+                lo_b = jnp.broadcast_to(lo2[g:g + 1, :], (LANES, LANES))
+                hi_b = jnp.broadcast_to(hi2[g:g + 1, :], (LANES, LANES))
+                word = jnp.where(use_hi, hi_b, lo_b)
+                code = (word >> sh) & jnp.uint32(3)
+                e = (code == jb).astype(jnp.bfloat16)   # (128 onehot, 128 site)
 
-            di = digits.astype(jnp.int32)
-            match_total = jnp.zeros_like(di)
-            seen_earlier = jnp.zeros(di.shape, jnp.bool_)
-            for sp in range(slice_count):
-                dsp = (di // (8 ** sp)) % 8
-                match_total = match_total + dsp
-                seen_earlier = seen_earlier | (
-                    (dsp == (slice_width // 2)) & (sp < s))
-            dist = 20 - match_total
+                maskf = dot(e, wm)                      # (128 site, qb)
+                mit_log = dot(e, wt_hi) + dot(e, wt_lo)
+                cfd_log = dot(e, wc_hi) + dot(e, wc_lo)
 
-            in_bucket = (erow + c * chunk) < blen
-            valid = (dist <= max_dist) & ~seen_earlier & in_bucket
+                mi_raw = maskf.astype(jnp.int32)
+                dist = jax.lax.population_count(mi_raw)
+                # first-clean-slice dedup: a zero nibble at an earlier
+                # slice's 4-position range means this site already
+                # matched that slice's bucket for this query
+                seen_earlier = jnp.zeros(mi_raw.shape, jnp.bool_)
+                for sp in range(slice_count - 1):
+                    nib = (mi_raw >> (4 * sp)) & 15
+                    seen_earlier = seen_earlier | ((nib == 0) & (sp < s))
 
-            # MIT local: t1 from the log-matmul, t2 from the mask bits
-            mi = jnp.maximum(maskf.astype(jnp.int32), 1)
-            first = jax.lax.population_count((mi & -mi) - 1)
-            last = 31 - jax.lax.clz(mi)
-            m = dist.astype(jnp.float32)
-            d_spread = jnp.where(
-                dist == 1, jnp.float32(19.0),
-                (last - first).astype(jnp.float32)
-                / jnp.maximum(m - 1.0, 1.0))
-            t2 = 1.0 / ((19.0 - d_spread) / 19.0 * 4.0 + 1.0)
-            t3 = 1.0 / jnp.maximum(m * m, 1.0)
-            t1 = jnp.exp(mit_log)
-            mit_local = jnp.where(dist > 0, t1 * t2 * t3 * 100.0, 0.0)
-            cfd_local = jnp.where(dist == 0, jnp.float32(1.0),
-                                  pam_ngg * jnp.exp(cfd_log))
+                in_bucket = (site_sub + (g * LANES) + c * chunk) < blen
+                valid = (dist <= max_dist) & ~seen_earlier & in_bucket
 
-            occ_f = occ_c.astype(jnp.float32)
-            vf = jnp.where(valid, occ_f, 0.0)
-            acc_mit = acc_mit + jnp.sum(
-                (mit_local * vf).reshape(8, chunk // 8, qb), axis=1)
-            acc_cfd = acc_cfd + jnp.sum(
-                (cfd_local * vf).reshape(8, chunk // 8, qb), axis=1)
+                # MIT local: t1 from the log-matmul, t2 from the mask bits
+                mi = jnp.maximum(mi_raw, 1)
+                first = jax.lax.population_count((mi & -mi) - 1)
+                last = 31 - jax.lax.clz(mi)
+                m = dist.astype(jnp.float32)
+                d_spread = jnp.where(
+                    dist == 1, jnp.float32(19.0),
+                    (last - first).astype(jnp.float32)
+                    / jnp.maximum(m - 1.0, 1.0))
+                t2 = 1.0 / ((19.0 - d_spread) / 19.0 * 4.0 + 1.0)
+                t3 = 1.0 / jnp.maximum(m * m, 1.0)
+                t1 = jnp.exp(mit_log)
+                mit_local = jnp.where(dist > 0, t1 * t2 * t3 * 100.0, 0.0)
+                cfd_local = jnp.where(dist == 0, jnp.float32(1.0),
+                                      pam_ngg * jnp.exp(cfd_log))
+
+                vf = jnp.where(valid, occt[:, g:g + 1], 0.0)
+                acc_mit = acc_mit + mit_local * vf
+                acc_cfd = acc_cfd + cfd_local * vf
             return acc_mit, acc_cfd
 
         acc_mit, acc_cfd = jax.lax.fori_loop(
             0, nch, body,
-            (jnp.zeros((8, qb), jnp.float32),
-             jnp.zeros((8, qb), jnp.float32)))
-        mit_ref[0, 0] = acc_mit
-        cfd_ref[0, 0] = acc_cfd
+            (jnp.zeros((LANES, qb), jnp.float32),
+             jnp.zeros((LANES, qb), jnp.float32)))
+        mit_ref[0, 0] = acc_mit.reshape(LANES // 8, 8, qb).sum(axis=0)
+        cfd_ref[0, 0] = acc_cfd.reshape(LANES // 8, 8, qb).sum(axis=0)
 
 
 class DenseIsslScorer:
     """Single-chip dense-matmul ISSL scorer (full-scan)."""
 
     def __init__(self, index: IsslIndex, max_dist: int | None = None,
-                 query_page: int = 32768, chunk: int = 2048,
+                 query_page: int = 32768, chunk: int = 4096,
                  qb_cap: int = 512, interpret: bool | None = None):
         if index.slice_width != 8 or index.seq_length != 20:
             raise ValueError("dense engine supports l=20, w=8")
@@ -194,13 +199,14 @@ class DenseIsslScorer:
 
         arrs = index.device_arrays_aligned(align=ALIGN, tail=self.chunk)
         epad = arrs["list_lo"].shape[1]
-        self._epad = epad
-        # interleaved (S*Epad, 4) u32 rows: [lo, hi, occ, 0]
-        inter = np.zeros((self.S * epad, 4), dtype=np.uint32)
-        inter[:, 0] = arrs["list_lo"].reshape(-1).view(np.uint32)
-        inter[:, 1] = arrs["list_hi"].reshape(-1).view(np.uint32)
-        inter[:, 2] = arrs["list_occ"].reshape(-1).astype(np.uint32)
-        self.entries = jax.device_put(inter)
+        self._rows_per_slice = epad // LANES
+        # three deinterleaved (S*epad/128, 128) u32 planes: lo, hi, occ
+        planes = np.stack([
+            arrs["list_lo"].reshape(-1, LANES).view(np.uint32),
+            arrs["list_hi"].reshape(-1, LANES).view(np.uint32),
+            arrs["list_occ"].reshape(-1, LANES).astype(np.uint32),
+        ])
+        self.entries = jax.device_put(planes)
         self.bucket_offsets = jax.device_put(arrs["bucket_offsets"])
         self.bucket_lens = jax.device_put(arrs["bucket_lens"])
         self._weight_consts = self._build_weight_consts()
@@ -209,28 +215,23 @@ class DenseIsslScorer:
     # -- per-query weight construction ----------------------------------
 
     def _build_weight_consts(self):
-        """(20, 4, 4) host constants [p, qbase, obase] for the four weight
-        families."""
-        w = self.index.slice_width
+        """(20, 4, 4) host constants [p, qbase, obase] for the three
+        weight families."""
         mitw = np.asarray(MIT_WEIGHTS, dtype=np.float64)
         pos_pen = cfd_pos_penalties().reshape(20, 16).astype(np.float64)
-        digit = np.zeros((20, 4, 4))
         maskw = np.zeros((20, 4, 4))
         mitl = np.zeros((20, 4, 4))
         cfdl = np.zeros((20, 4, 4))
         for p in range(20):
-            sp = (2 * p) // w
             for qb_ in range(4):
                 for ob in range(4):
-                    if ob == qb_:
-                        digit[p, qb_, ob] = 8.0 ** sp
-                    else:
+                    if ob != qb_:
                         maskw[p, qb_, ob] = float(1 << p)
                         mitl[p, qb_, ob] = np.log(1.0 - mitw[p])
                         pen = pos_pen[p, (qb_ << 2) | (ob ^ 3)]
                         cfdl[p, qb_, ob] = (np.log(pen) if pen > 0
                                             else LOG_FLOOR)
-        return dict(digit=digit, maskw=maskw, mitl=mitl, cfdl=cfdl)
+        return dict(maskw=maskw, mitl=mitl, cfdl=cfdl)
 
     def _plan(self, sigs: np.ndarray):
         """Queries -> (qsp (S, B, QB) int32 slot table, QB). Pad id = n;
@@ -246,7 +247,7 @@ class DenseIsslScorer:
             qb = max(qb, int(np.bincount(vals, minlength=self.B).max()))
         if qb > self.qb_cap:
             return None, qb
-        qb = -(-qb // 64) * 64
+        qb = -(-qb // LANES) * LANES
         qsp = np.full((self.S, self.B, qb), n, dtype=np.int32)
         for s in range(self.S):
             vals = vals_all[s]
@@ -269,9 +270,9 @@ class DenseIsslScorer:
         chunk = self.chunk
         kernel = functools.partial(
             _kernel, chunk=chunk, qb=qb, max_dist=self.max_dist,
-            slice_count=S, slice_width=self.index.slice_width,
+            slice_count=S,
             pam_ngg=float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX]),
-            epad=self._epad)
+            rows_per_slice=self._rows_per_slice)
         call = pl.pallas_call(
             kernel,
             out_shape=[
@@ -282,7 +283,7 @@ class DenseIsslScorer:
                 num_scalar_prefetch=2,       # boff, blens
                 grid=(S, B),
                 in_specs=[
-                    pl.BlockSpec((1, 1, 6, LANES, qb),
+                    pl.BlockSpec((1, 1, 5, LANES, qb),
                                  lambda s, v, *_: (s, v, 0, 0, 0)),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
@@ -291,7 +292,7 @@ class DenseIsslScorer:
                     pl.BlockSpec((1, 1, 8, qb), lambda s, v, *_: (s, v, 0, 0)),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, chunk, 4), jnp.uint32),
+                    pltpu.VMEM((2, 3, chunk // LANES, LANES), jnp.uint32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
@@ -300,8 +301,7 @@ class DenseIsslScorer:
         )
 
         wc = self._weight_consts
-        digit_c = jnp.asarray(wc["digit"], jnp.float32)    # (20, 4, 4)
-        maskw_c = jnp.asarray(wc["maskw"], jnp.float32)
+        maskw_c = jnp.asarray(wc["maskw"], jnp.float32)    # (20, 4, 4)
         mitl_c = jnp.asarray(wc["mitl"], jnp.float32)
         cfdl_c = jnp.asarray(wc["cfdl"], jnp.float32)
 
@@ -320,7 +320,6 @@ class DenseIsslScorer:
                 full = jnp.zeros((n + 1, LANES), jnp.float32)
                 return full.at[:n, :80].set(x)
 
-            wD = pad_lanes(lanes(digit_c))
             wM = pad_lanes(lanes(maskw_c))
             wT = pad_lanes(lanes(mitl_c))
             wC = pad_lanes(lanes(cfdl_c))
@@ -328,8 +327,9 @@ class DenseIsslScorer:
             wT_lo = wT - wT_hi
             wC_hi = wC.astype(jnp.bfloat16).astype(jnp.float32)
             wC_lo = wC - wC_hi
-            stack = jnp.stack([wD, wM, wT_hi, wT_lo, wC_hi, wC_lo])
-            g = stack[:, qsp]                 # (6, S, B, qb, 128)
+            stack = jnp.stack(
+                [wM, wT_hi, wT_lo, wC_hi, wC_lo]).astype(jnp.bfloat16)
+            g = stack[:, qsp]                 # (5, S, B, qb, 128)
             return jnp.transpose(g, (1, 2, 0, 4, 3))
 
         def run(q_lo, q_hi, qsp, boff, blens, entries):

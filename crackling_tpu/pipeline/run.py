@@ -297,6 +297,11 @@ class Pipeline:
                 index, max_dist=int(cm["offtargetscore"]["max-distance"]),
                 method=method,
                 threshold=float(cm["offtargetscore"]["score-threshold"]))
+        elif engine == "dense":
+            from ..ops.issl_dense import DenseIsslScorer
+
+            self._issl_scorer = DenseIsslScorer(
+                index, max_dist=int(cm["offtargetscore"]["max-distance"]))
         elif engine == "pallas":
             from ..ops.issl_pallas import PallasIsslScorer
 
