@@ -60,7 +60,7 @@ LOG_FLOOR = -80.0     # ln stand-in for zero penalties: exp(-80) == 0 in f32
 
 def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
             mit_ref, cfd_ref, buf, sems,
-            *, chunk: int, qb: int, max_dist: int, slice_count: int,
+            *, chunk: int, qb: int, max_dist: int,
             pam_ngg: float, rows_per_slice: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -102,6 +102,7 @@ def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
         sh = (jp * 2) % 32
         use_hi = jp >= 16
         site_sub = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+        low_mask = (jnp.uint32(1) << (4 * s)) - jnp.uint32(1)
         cdims = (((0,), (0,)), ((), ()))
 
         def dot(a, b):
@@ -137,29 +138,32 @@ def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
                 mi_raw = maskf.astype(jnp.int32)
                 dist = jax.lax.population_count(mi_raw)
                 # first-clean-slice dedup: a zero nibble at an earlier
-                # slice's 4-position range means this site already
-                # matched that slice's bucket for this query
-                seen_earlier = jnp.zeros(mi_raw.shape, jnp.bool_)
-                for sp in range(slice_count - 1):
-                    nib = (mi_raw >> (4 * sp)) & 15
-                    seen_earlier = seen_earlier | ((nib == 0) & (sp < s))
+                # slice's 4-position range means this site already matched
+                # that slice's bucket for this query. SWAR any-zero-nibble
+                # test over the low 4*s bits (upper nibbles forced to 0xF
+                # so they never fire; nibble-borrow false positives only
+                # occur above a real zero nibble, so "any" stays exact).
+                x = mi_raw.astype(jnp.uint32) | ~low_mask
+                seen_earlier = ((x - jnp.uint32(0x11111111)) & ~x
+                                & jnp.uint32(0x88888888)) != 0
 
                 in_bucket = (site_sub + (g * LANES) + c * chunk) < blen
                 valid = (dist <= max_dist) & ~seen_earlier & in_bucket
 
-                # MIT local: t1 from the log-matmul, t2 from the mask bits
+                # MIT local = t1 * t2 * t3 * 100 collapsed to one divide:
+                # with md = max(m-1, 1) and u = last-first (forced to 19
+                # when m == 1 so that t2 == 1),
+                #   t2*t3 = 19*md / ((95*md - 4u) * m^2)
                 mi = jnp.maximum(mi_raw, 1)
                 first = jax.lax.population_count((mi & -mi) - 1)
                 last = 31 - jax.lax.clz(mi)
                 m = dist.astype(jnp.float32)
-                d_spread = jnp.where(
-                    dist == 1, jnp.float32(19.0),
-                    (last - first).astype(jnp.float32)
-                    / jnp.maximum(m - 1.0, 1.0))
-                t2 = 1.0 / ((19.0 - d_spread) / 19.0 * 4.0 + 1.0)
-                t3 = 1.0 / jnp.maximum(m * m, 1.0)
+                md = jnp.maximum(m - 1.0, 1.0)
+                u = jnp.where(dist == 1, jnp.float32(19.0),
+                              (last - first).astype(jnp.float32))
                 t1 = jnp.exp(mit_log)
-                mit_local = jnp.where(dist > 0, t1 * t2 * t3 * 100.0, 0.0)
+                den = (95.0 * md - 4.0 * u) * jnp.maximum(m * m, 1.0)
+                mit_local = jnp.where(dist > 0, t1 * (1900.0 * md) / den, 0.0)
                 cfd_local = jnp.where(dist == 0, jnp.float32(1.0),
                                       pam_ngg * jnp.exp(cfd_log))
 
@@ -238,26 +242,25 @@ class DenseIsslScorer:
         returns (None, needed) on qb_cap overflow."""
         n = sigs.shape[0]
         w = self.index.slice_width
-        vals_all = []
-        qb = 0
+        shifts = (np.arange(self.S, dtype=np.uint64) * np.uint64(w))[:, None]
+        vals = ((sigs[None, :] >> shifts)
+                & np.uint64(self.B - 1)).astype(np.int64)        # (S, n)
+        counts = np.zeros((self.S, self.B), dtype=np.int64)
         for s in range(self.S):
-            vals = ((sigs >> np.uint64(s * w))
-                    & np.uint64(self.B - 1)).astype(np.int64)
-            vals_all.append(vals)
-            qb = max(qb, int(np.bincount(vals, minlength=self.B).max()))
+            counts[s] = np.bincount(vals[s], minlength=self.B)
+        qb = int(counts.max())
         if qb > self.qb_cap:
             return None, qb
-        qb = -(-qb // LANES) * LANES
+        qb = -(-qb // 64) * 64
+        order = np.argsort(vals, axis=1, kind="stable").astype(np.int32)
+        sorted_vals = np.take_along_axis(vals, order.astype(np.int64), 1)
+        # rank of each sorted slot within its bucket's run
+        starts = np.cumsum(counts, axis=1) - counts                # (S, B)
+        rank = (np.arange(n, dtype=np.int64)[None, :]
+                - np.take_along_axis(starts, sorted_vals, 1))
         qsp = np.full((self.S, self.B, qb), n, dtype=np.int32)
-        for s in range(self.S):
-            vals = vals_all[s]
-            order = np.argsort(vals, kind="stable").astype(np.int32)
-            sorted_vals = vals[order]
-            starts = np.searchsorted(sorted_vals, np.arange(self.B))
-            ends = np.searchsorted(sorted_vals, np.arange(self.B), "right")
-            for b in range(self.B):
-                ids = order[starts[b]:ends[b]]
-                qsp[s, b, : ids.size] = ids
+        s_idx = np.repeat(np.arange(self.S), n).reshape(self.S, n)
+        qsp[s_idx, sorted_vals, rank] = order
         return qsp, qb
 
     def _get_run(self, qb: int):
@@ -270,7 +273,6 @@ class DenseIsslScorer:
         chunk = self.chunk
         kernel = functools.partial(
             _kernel, chunk=chunk, qb=qb, max_dist=self.max_dist,
-            slice_count=S,
             pam_ngg=float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX]),
             rows_per_slice=self._rows_per_slice)
         call = pl.pallas_call(
@@ -354,6 +356,7 @@ class DenseIsslScorer:
         n = sigs.shape[0]
         out_mit = np.zeros(n, dtype=np.float64)
         out_cfd = np.zeros(n, dtype=np.float64)
+        pending = []        # (lo_idx, length, device (mit, cfd))
 
         def run_page(lo_idx, page):
             qsp, qb = self._plan(page)
@@ -366,15 +369,23 @@ class DenseIsslScorer:
                 return
             lo, hi = sig_split(page)
             fn = self._get_run(qb)
-            m, c = fn(jnp.asarray(lo.view(np.uint32)),
-                      jnp.asarray(hi.view(np.uint32)),
-                      jnp.asarray(qsp),
-                      self.bucket_offsets, self.bucket_lens, self.entries)
-            out_mit[lo_idx:lo_idx + page.shape[0]] = np.asarray(m, np.float64)
-            out_cfd[lo_idx:lo_idx + page.shape[0]] = np.asarray(c, np.float64)
+            mc = fn(jnp.asarray(lo.view(np.uint32)),
+                    jnp.asarray(hi.view(np.uint32)),
+                    jnp.asarray(qsp),
+                    self.bucket_offsets, self.bucket_lens, self.entries)
+            pending.append((lo_idx, page.shape[0], mc))
 
+        # dispatch every page asynchronously (the host plan of page i+1
+        # overlaps the device scan of page i), then drain the results in
+        # ONE device_get round trip — d2h over the remote-TPU tunnel has
+        # ~30 ms fixed latency per call, so per-page fetches dominate the
+        # wall time at bench scale.
         for i in range(0, n, self.query_page):
             run_page(i, sigs[i:i + self.query_page])
+        fetched = jax.device_get([mc for _, _, mc in pending])
+        for (lo_idx, ln, _), (m, c) in zip(pending, fetched):
+            out_mit[lo_idx:lo_idx + ln] = m
+            out_cfd[lo_idx:lo_idx + ln] = c
         return out_mit, out_cfd
 
     def score(self, query_sigs: np.ndarray):
