@@ -391,3 +391,64 @@ class DenseIsslScorer:
     def score(self, query_sigs: np.ndarray):
         mit_sum, cfd_sum = self.score_sums(query_sigs)
         return 10000.0 / (100.0 + mit_sum), 10000.0 / (100.0 + cfd_sum)
+
+
+class HybridIsslScorer:
+    """Dense-engine speed with reference-exact verdicts for all 5 methods.
+
+    Full-scan verdicts already match the binary's early-exit verdicts in
+    exact arithmetic (an early exit only happens once rejection is
+    decided, and full-scan sums are >= partial sums, so the full-scan
+    score can only confirm the rejection; see isslScoreOfftargets.cpp:
+    326,467-496). The one remaining risk is the dense engine's f32/bf16
+    rounding flipping a comparison right at the threshold. This wrapper
+    re-scores every query whose method-relevant margin
+    ``|score - threshold|`` is within ``band`` through the bit-exact MXU
+    engine (built lazily, so clean runs never pay for it). The default
+    band of 1.0 score units is ~50x the largest dense-vs-binary deviation
+    observed on the bench ladder (<0.02); re-scored queries also get the
+    binary's exact early-exit score values.
+    """
+
+    def __init__(self, index: IsslIndex, max_dist: int | None = None,
+                 method: str = "and", threshold: float = 75.0,
+                 band: float = 1.0, **dense_kw):
+        self.index = index
+        self.max_dist = max_dist
+        self.method = method
+        self.threshold = float(threshold)
+        self.band = float(band)
+        self.dense = DenseIsslScorer(index, max_dist=max_dist, **dense_kw)
+        self._exact = None
+
+    def _get_exact(self):
+        if self._exact is None:
+            from .issl_mxu import MxuIsslScorer
+
+            self._exact = MxuIsslScorer(
+                self.index, max_dist=self.max_dist, method=self.method,
+                threshold=self.threshold)
+        return self._exact
+
+    def _near_threshold(self, mit, cfd):
+        thr, band = self.threshold, self.band
+        m_mit = np.abs(mit - thr) <= band
+        m_cfd = np.abs(cfd - thr) <= band
+        m_avg = np.abs((mit + cfd) / 2.0 - thr) <= band
+        if self.method == "mit":
+            return m_mit
+        if self.method == "cfd":
+            return m_cfd
+        if self.method == "avg":
+            return m_avg
+        return m_mit | m_cfd          # and / or
+
+    def score(self, query_sigs: np.ndarray):
+        sigs = np.asarray(query_sigs, dtype=np.uint64)
+        mit, cfd = self.dense.score(sigs)
+        near = self._near_threshold(mit, cfd)
+        if near.any():
+            em, ec = self._get_exact().score(sigs[near])
+            mit[near] = em
+            cfd[near] = ec
+        return mit, cfd

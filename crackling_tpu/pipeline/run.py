@@ -298,10 +298,14 @@ class Pipeline:
                 method=method,
                 threshold=float(cm["offtargetscore"]["score-threshold"]))
         elif engine == "dense":
-            from ..ops.issl_dense import DenseIsslScorer
+            # dense full-scan with a bit-exact re-score of near-threshold
+            # queries: verdict-exact for every method at dense speed
+            from ..ops.issl_dense import HybridIsslScorer
 
-            self._issl_scorer = DenseIsslScorer(
-                index, max_dist=int(cm["offtargetscore"]["max-distance"]))
+            self._issl_scorer = HybridIsslScorer(
+                index, max_dist=int(cm["offtargetscore"]["max-distance"]),
+                method=method,
+                threshold=float(cm["offtargetscore"]["score-threshold"]))
         elif engine == "pallas":
             from ..ops.issl_pallas import PallasIsslScorer
 
