@@ -121,6 +121,9 @@ def time_reference(refbin, issl, qfile, queries):
 
 
 def time_ours(index_npz, queries):
+    from crackling_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
 
     from crackling_tpu.index import load_native

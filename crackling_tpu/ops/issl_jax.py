@@ -42,7 +42,10 @@ import numpy as np
 
 from ..codec import sig_split
 from ..index.build import IsslIndex
+from ..utils.jaxcache import enable_persistent_cache
 from .tables import CFD_PAM_NGG_INDEX, MIT_WEIGHTS, cfd_pam_penalties, cfd_pos_penalties
+
+enable_persistent_cache()
 
 # Score methods (reference isslScoreOfftargets.cpp:44,121-143).
 METHODS = ("mit", "cfd", "and", "or", "avg")

@@ -58,15 +58,9 @@ ALIGN = 1024      # bucket start alignment, entries (rows of the plane array)
 
 # the engine's compiled programs are large (a 1280-program pallas grid plus
 # compaction epilogues); persist them so only the first-ever run pays XLA
-try:  # pragma: no cover - config availability depends on the jax build
-    import os as _os
+from ..utils.jaxcache import enable_persistent_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.path.expanduser("~/.cache/crackling_tpu_jax"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+enable_persistent_cache()
 
 
 def _kernel(boff_ref, blen_ref, qoh_ref, planes_hbm, cnt_ref,

@@ -42,8 +42,11 @@ import numpy as np
 
 from ..codec import sig_split
 from ..index.build import IsslIndex
+from ..utils.jaxcache import enable_persistent_cache
 from .tables import (CFD_PAM_NGG_INDEX, MIT_WEIGHTS, cfd_pam_penalties,
                      cfd_pos_penalties)
+
+enable_persistent_cache()
 
 LANES = 128
 ALIGN = 1024          # bucket start alignment, entries

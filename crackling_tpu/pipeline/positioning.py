@@ -32,7 +32,9 @@ among equal-score alignments can differ from a real Bowtie2 run
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import os
+import tempfile
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -65,6 +67,7 @@ class GenomeIndex:
     starts: np.ndarray       # int64 offset of each record in codes
     _win_sigs: np.ndarray | None = None
     _win_pos: np.ndarray | None = None
+    _mmdir: object = field(default=None, repr=False)
 
     @classmethod
     def from_fasta(cls, path: str) -> "GenomeIndex":
@@ -107,35 +110,28 @@ class GenomeIndex:
         rec = np.searchsorted(self.starts, flat_pos, side="right") - 1
         return rec, flat_pos - self.starts[rec] + 1
 
-    def window_index(self, chunk: int = 1 << 22):
-        """(sorted window signatures, flat positions) — built once.
-
-        Windows are ordered by (signature, position), so for any signature
-        the first entry in its searchsorted range is its lowest genomic
-        occurrence."""
-        if self._win_sigs is not None:
-            return self._win_sigs, self._win_pos
-        codes = self.codes
-        total = codes.shape[0]
+    def _scan_windows(self, chunk: int):
+        """Yield (sig23, flat position) of PAM-candidate windows, chunk by
+        chunk in ascending genome order (native scanner when available,
+        numpy fallback otherwise). Bounded memory: one chunk at a time."""
         from ..native import pam_windows_native
 
-        native = pam_windows_native(codes)
-        if native is not None:
-            sigs, pos = native
-            # stable sort on the signature preserves the scan's ascending
-            # position order within equal signatures
-            order = np.argsort(sigs, kind="stable")
-            self._win_sigs = sigs[order]
-            self._win_pos = pos[order]
-            return self._win_sigs, self._win_pos
-        sig_parts: list[np.ndarray] = []
-        pos_parts: list[np.ndarray] = []
+        codes = self.codes
+        total = codes.shape[0]
         for c0 in range(0, total, chunk):
             c1 = min(total, c0 + chunk + 22)
+            native = pam_windows_native(codes[c0:c1])
+            if native is not None:
+                sigs, pos = native
+                if c0 > 0 or c1 < total:
+                    keep = pos < chunk
+                    sigs, pos = sigs[keep], pos[keep]
+                if sigs.size:
+                    yield sigs, pos + c0
+                continue
             sigs, pos = _window_sigs23(codes[c0:c1])
-            if c0 > 0:
-                keep = pos < chunk
-                sigs, pos = sigs[keep], pos[keep]
+            keep = pos < chunk
+            sigs, pos = sigs[keep], pos[keep]
             if sigs.size == 0:
                 continue
             p = pos + c0
@@ -146,17 +142,95 @@ class GenomeIndex:
             w21, w22 = codes[p + 21], codes[p + 22]
             m = ((w22 == 2) & ((w21 == 2) | (w21 == 0))) \
                 | ((w0 == 1) & ((w1 == 1) | (w1 == 3)))
-            sig_parts.append(sigs[m])
-            pos_parts.append(p[m])
+            if m.any():
+                yield sigs[m], p[m]
+
+    def window_index(self, chunk: int = 1 << 24,
+                     memmap_threshold: int | None = None):
+        """(sorted window signatures, flat positions) — built once.
+
+        Windows are ordered by (signature, position), so for any signature
+        the first entry in its searchsorted range is its lowest genomic
+        occurrence.
+
+        For genomes whose estimated window count exceeds
+        ``memmap_threshold`` (default 2^27 ≈ 134M windows ≈ 2 GB of
+        index; override with ``CRACKLING_WINDOW_MEMMAP_THRESHOLD``), the
+        index is built *on disk* with a two-scan bucket sort — peak host
+        RAM is one genome chunk plus one of 256 signature buckets — and
+        served from ``np.memmap`` arrays, so >10 Gbp inputs position in
+        bounded memory (the binary searches page in only what they touch).
+        """
+        if self._win_sigs is not None:
+            return self._win_sigs, self._win_pos
+        if memmap_threshold is None:
+            memmap_threshold = int(os.environ.get(
+                "CRACKLING_WINDOW_MEMMAP_THRESHOLD", 1 << 27))
+        # both-strand PAM-candidate density on random sequence is ~25%;
+        # decide the build mode upfront from a conservative 30% estimate
+        if self.codes.shape[0] * 0.3 > memmap_threshold:
+            return self._window_index_memmap(chunk)
+        sig_parts: list[np.ndarray] = []
+        pos_parts: list[np.ndarray] = []
+        for sigs, pos in self._scan_windows(chunk):
+            sig_parts.append(sigs)
+            pos_parts.append(pos)
         if sig_parts:
             sigs = np.concatenate(sig_parts)
             pos = np.concatenate(pos_parts)
-            order = np.lexsort((pos, sigs))
+            # stable sort on the signature preserves the scan's ascending
+            # position order within equal signatures
+            order = np.argsort(sigs, kind="stable")
             self._win_sigs = sigs[order]
             self._win_pos = pos[order]
         else:
             self._win_sigs = np.zeros(0, dtype=np.uint64)
             self._win_pos = np.zeros(0, dtype=np.int64)
+        return self._win_sigs, self._win_pos
+
+    def _window_index_memmap(self, chunk: int):
+        """Disk-resident window index: scan 1 histograms the 256 top-byte
+        signature buckets, scan 2 scatters (sig, pos) into per-bucket
+        regions of memmapped arrays (chunk order keeps positions ascending
+        within a bucket), then each bucket is stable-sorted in RAM."""
+        SHIFT = np.uint64(38)          # top byte of the 46-bit 23-mer sig
+        counts = np.zeros(256, dtype=np.int64)
+        for sigs, _ in self._scan_windows(chunk):
+            counts += np.bincount((sigs >> SHIFT).astype(np.int64),
+                                  minlength=256)
+        n = int(counts.sum())
+        self._mmdir = tempfile.TemporaryDirectory(prefix="crackling_winidx_")
+        sig_mm = np.memmap(os.path.join(self._mmdir.name, "win_sigs.u64"),
+                           dtype=np.uint64, mode="w+", shape=(max(n, 1),))
+        pos_mm = np.memmap(os.path.join(self._mmdir.name, "win_pos.i64"),
+                           dtype=np.int64, mode="w+", shape=(max(n, 1),))
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        cursor = offsets[:-1].copy()
+        for sigs, pos in self._scan_windows(chunk):
+            b = (sigs >> SHIFT).astype(np.int64)
+            order = np.argsort(b, kind="stable")
+            b_sorted = b[order]
+            runs = np.flatnonzero(np.diff(b_sorted)) + 1
+            bounds = np.concatenate([[0], runs, [b_sorted.shape[0]]])
+            for r0, r1 in zip(bounds[:-1], bounds[1:]):
+                bb = int(b_sorted[r0])
+                c = cursor[bb]
+                sel = order[r0:r1]
+                sig_mm[c:c + (r1 - r0)] = sigs[sel]
+                pos_mm[c:c + (r1 - r0)] = pos[sel]
+                cursor[bb] += r1 - r0
+        for bb in range(256):
+            o0, o1 = int(offsets[bb]), int(offsets[bb + 1])
+            if o1 - o0 < 2:
+                continue
+            seg = np.asarray(sig_mm[o0:o1])
+            order = np.argsort(seg, kind="stable")
+            sig_mm[o0:o1] = seg[order]
+            pos_mm[o0:o1] = np.asarray(pos_mm[o0:o1])[order]
+        sig_mm.flush()
+        pos_mm.flush()
+        self._win_sigs = sig_mm[:n]
+        self._win_pos = pos_mm[:n]
         return self._win_sigs, self._win_pos
 
 

@@ -27,12 +27,9 @@ def configure_jax(est_items: float | None = None):
     """
     import jax
 
-    cache = os.path.expanduser("~/.cache/crackling_tpu_jax")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from .jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     want = os.environ.get("CRACKLING_PLATFORM", "auto")
     if want == "cpu" or (want == "auto" and est_items is not None
                          and est_items < 5e8):

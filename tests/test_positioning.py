@@ -132,6 +132,33 @@ def test_best_alignment_mismatch_ladder(world, rng):
     assert w == base or rc(w) == base
 
 
+def test_window_index_memmap_matches_inram(world):
+    """The disk-resident (memmapped bucket-sorted) window index is
+    entry-for-entry identical to the in-RAM build, and positioning
+    verdicts/coordinates agree."""
+    fa, chroms = world
+    gi_ram = GenomeIndex.from_fasta(str(fa))
+    sigs_ram, pos_ram = gi_ram.window_index()
+
+    gi_mm = GenomeIndex.from_fasta(str(fa))
+    # memmap_threshold=0 forces the on-disk build; a small chunk forces
+    # multiple scan chunks so the bucket-scatter path is exercised
+    sigs_mm, pos_mm = gi_mm.window_index(chunk=1 << 13, memmap_threshold=0)
+    assert isinstance(sigs_mm, np.memmap)
+    np.testing.assert_array_equal(np.asarray(sigs_mm), sigs_ram)
+    np.testing.assert_array_equal(np.asarray(pos_mm), pos_ram)
+
+    picks = [chroms["c1"][100:123], chroms["c2"][57:80],
+             "ACGTACGTACGTACGTACGT" + "TGG"]
+    q = strings_to_sigs(picks, 23)
+    got = position_guides(q, gi_mm)
+    want = position_guides(q, gi_ram)
+    np.testing.assert_array_equal(got[0], want[0])
+    assert list(got[1]) == list(want[1])
+    np.testing.assert_array_equal(got[2], want[2])
+    np.testing.assert_array_equal(got[3], want[3])
+
+
 def test_variant_sigs_layout():
     sigs = strings_to_sigs(["A" * 20 + "GGG"], 23)
     v = variant_sigs(sigs)
