@@ -127,6 +127,9 @@ def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
             occt = jnp.transpose(                    # (128, cg) f32
                 buf[slot, 2].astype(jnp.int32).astype(jnp.float32))
 
+            # unrolled Python loop over the cg lane groups: a fori_loop
+            # with dynamic-start sublane loads measured ~50% slower on
+            # hardware (Mosaic can't pipeline across its iterations)
             for g in range(cg):
                 lo_b = jnp.broadcast_to(lo2[g:g + 1, :], (LANES, LANES))
                 hi_b = jnp.broadcast_to(hi2[g:g + 1, :], (LANES, LANES))
@@ -306,9 +309,12 @@ class DenseIsslScorer:
         )
 
         wc = self._weight_consts
-        maskw_c = jnp.asarray(wc["maskw"], jnp.float32)    # (20, 4, 4)
-        mitl_c = jnp.asarray(wc["mitl"], jnp.float32)
-        cfdl_c = jnp.asarray(wc["cfdl"], jnp.float32)
+        # numpy (host) constants: device-array closures would be fetched
+        # back d2h at lowering time to embed as MLIR constants, and those
+        # fetches queue behind the index h2d upload (~45s stall observed)
+        maskw_c = np.asarray(wc["maskw"], np.float32)      # (20, 4, 4)
+        mitl_c = np.asarray(wc["mitl"], np.float32)
+        cfdl_c = np.asarray(wc["cfdl"], np.float32)
 
         def prelude(q_lo, q_hi, qsp):
             n = q_lo.shape[0]
@@ -318,7 +324,8 @@ class DenseIsslScorer:
             qb_codes = ((word >> sh) & 3).astype(jnp.int32)   # (n, 20)
 
             def lanes(tbl):
-                wrow = tbl[jnp.arange(20)[None, :], qb_codes]  # (n, 20, 4)
+                wrow = jnp.asarray(tbl)[jnp.arange(20)[None, :],
+                                        qb_codes]      # (n, 20, 4)
                 return wrow.reshape(n, 80)
 
             def pad_lanes(x):
