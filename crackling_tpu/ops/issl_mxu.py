@@ -313,8 +313,10 @@ class MxuIsslScorer:
         capr, capr2, hitcap = self.cap_rescan, self.cap_rhit, self.hit_cap
         head_take = self.head_take
         max_dist = self.max_dist
-        even = jnp.uint32(0xAAAAAAAA)
-        odd = jnp.uint32(0x55555555)
+        # numpy scalars: jnp scalars created here (outside the trace)
+        # would be device constants fetched back d2h at lowering time
+        even = np.uint32(0xAAAAAAAA)
+        odd = np.uint32(0x55555555)
 
         def epilogue(packed_in, n, out, order_dev, uoff_dev,
                      list_lo, list_hi, boffd, blensd):

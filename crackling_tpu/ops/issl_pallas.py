@@ -279,7 +279,7 @@ class PallasIsslScorer:
         Returns qoff (S, B+1) int32 and qsorted (S, Q) int32."""
         Q = self.query_page
         w = self.index.slice_width
-        bmask = jnp.uint32(self.B - 1)
+        bmask = np.uint32(self.B - 1)
         qoffs, qsorted = [], []
         for s in range(self.S):
             shift = s * w

@@ -190,7 +190,7 @@ def fold_batch(codes: np.ndarray):
 
     @jax.jit
     def run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j, mlclose_j, au_out,
-            pc_j, can_j):
+            pc_j, can_j, stack_j, bulge_j, grid_j):
         INFD = jnp.asarray(INF, dtype)
 
         V0 = jnp.full((B, n, n), INFD, dtype=dtype)
@@ -307,8 +307,13 @@ def fold_batch(codes: np.ndarray):
         f5 = lax.fori_loop(1, n, ext, f5)
         return V, fML, fM1, f5
 
+    # every device table is a jit *argument*: closure-captured device
+    # arrays are fetched back d2h at lowering to embed as MLIR constants,
+    # and those fetches stall behind pending h2d uploads on the remote
+    # TPU tunnel
     V, fML, fM1, f5 = run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j,
-                          mlclose_j, au_out, pc_j, can_j)
+                          mlclose_j, au_out, pc_j, can_j,
+                          stack_j, bulge_j, grid_j)
 
     tables = {
         "eps": 1e-6 if dtype == jnp.float64 else 1e-2,
