@@ -110,8 +110,13 @@ def main_create_issl_index(argv=None):
     index = build_index_from_sites_text(
         args.offtarget_sites, seq_length=args.seq_length,
         slice_width=args.slice_width_bits)
+    # output format by suffix: .npz -> compressed native; .isslx or a
+    # trailing separator -> memmapped native directory (O(1) open at
+    # genome scale); anything else -> the reference .issl binary layout
     if args.output.endswith(".npz"):
         save_native(index, args.output)
+    elif args.output.endswith(".isslx") or args.output.endswith(os.sep):
+        save_native(index, args.output.rstrip(os.sep))
     else:
         write_reference_issl(index, args.output)
     print("Done.")
@@ -134,7 +139,7 @@ def main_score_offtargets(argv=None):
     from ..index import load_native, read_reference_issl
     from ..ops.issl_jax import IsslScorer
 
-    if args.issltable.endswith(".npz"):
+    if args.issltable.endswith(".npz") or os.path.isdir(args.issltable):
         index = load_native(args.issltable)
     else:
         index, _ = read_reference_issl(args.issltable)

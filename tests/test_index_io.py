@@ -64,6 +64,32 @@ def test_native_roundtrip(tmp_path, site_sigs):
     assert (loaded.bucket_offsets == index.bucket_offsets).all()
 
 
+def test_native_dir_roundtrip(tmp_path, site_sigs):
+    """The memmapped directory format loads entry-identical and scores
+    identically to the in-RAM index."""
+    index = build_index(site_sigs, seq_length=20, slice_width=8)
+    path = tmp_path / "x.isslx"
+    save_native(index, str(path))
+    loaded = load_native(str(path))
+    assert isinstance(loaded.site_sigs, np.memmap)
+    assert loaded.seq_length == index.seq_length
+    assert loaded.seq_count == index.seq_count
+    assert (np.asarray(loaded.site_sigs) == index.site_sigs).all()
+    assert (np.asarray(loaded.occurrences) == index.occurrences).all()
+    assert (np.asarray(loaded.order) == index.order).all()
+    assert (np.asarray(loaded.bucket_offsets) == index.bucket_offsets).all()
+
+    from crackling_tpu.ops.issl_jax import IsslScorer
+
+    q = index.site_sigs[:32]
+    m1, c1 = IsslScorer(index, max_dist=4, method="and",
+                        threshold=75.0).score(q)
+    m2, c2 = IsslScorer(loaded, max_dist=4, method="and",
+                        threshold=75.0).score(q)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(c1, c2)
+
+
 def test_occurrence_counting(rng):
     sigs = np.array([5, 5, 5, 9, 9, 1], dtype=np.uint64)
     index = build_index(sigs, seq_length=20, slice_width=8)
