@@ -28,6 +28,8 @@ backend is the native C++ engine, which does its own traceback.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from . import rna_params as rp
@@ -183,10 +185,46 @@ def fold_batch(codes: np.ndarray):
     pc_j = jnp.asarray(pre["pc"])
     can_j = jnp.asarray(pre["can_pair"])
 
-    iidx = jnp.arange(n)
-    a_in = jnp.arange(1, L)                    # interior a (29,)
-    b_in = jnp.arange(1, L)
-    a_bul = jnp.arange(0, L + 1)               # bulge sizes (31,)
+    run = _fold_run(B, n, bool(jax.config.jax_enable_x64))
+    V, fML, fM1, f5 = run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j,
+                          mlclose_j, au_out, pc_j, can_j,
+                          stack_j, bulge_j, grid_j)
+
+    tables = {
+        "eps": 1e-6 if dtype == jnp.float64 else 1e-2,
+        "V": np.asarray(V, dtype=np.float64),
+        "fML": np.asarray(fML, dtype=np.float64),
+        "fM1": np.asarray(fM1, dtype=np.float64),
+        "f5": np.asarray(f5, dtype=np.float64),
+        "pre": pre,
+    }
+    energy = np.minimum(tables["f5"][:, n - 1], 0.0)
+    return energy, tables
+
+
+@functools.lru_cache(maxsize=8)
+def _fold_run(B: int, n: int, x64: bool):
+    """Shape-cached jitted DP core.
+
+    ``fold_batch`` used to define this under a fresh ``jax.jit`` per
+    call, re-tracing and recompiling the whole fold for every batch; the
+    cache makes repeat page folds of the pipeline pay tracing once per
+    (batch, length) shape. Every device table is a jit *argument* —
+    closure-captured device arrays are fetched back d2h at lowering to
+    embed as MLIR constants, and those fetches stall behind pending h2d
+    uploads on the remote TPU tunnel — and the index vectors are numpy,
+    which embeds from the host for free.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    dtype = jnp.float64 if x64 else jnp.float32
+    L = MAXLOOP
+    iidx = np.arange(n)
+    a_in = np.arange(1, L)                     # interior a (29,)
+    b_in = np.arange(1, L)
+    a_bul = np.arange(0, L + 1)                # bulge sizes (31,)
 
     @jax.jit
     def run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j, mlclose_j, au_out,
@@ -307,24 +345,7 @@ def fold_batch(codes: np.ndarray):
         f5 = lax.fori_loop(1, n, ext, f5)
         return V, fML, fM1, f5
 
-    # every device table is a jit *argument*: closure-captured device
-    # arrays are fetched back d2h at lowering to embed as MLIR constants,
-    # and those fetches stall behind pending h2d uploads on the remote
-    # TPU tunnel
-    V, fML, fM1, f5 = run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j,
-                          mlclose_j, au_out, pc_j, can_j,
-                          stack_j, bulge_j, grid_j)
-
-    tables = {
-        "eps": 1e-6 if dtype == jnp.float64 else 1e-2,
-        "V": np.asarray(V, dtype=np.float64),
-        "fML": np.asarray(fML, dtype=np.float64),
-        "fM1": np.asarray(fM1, dtype=np.float64),
-        "f5": np.asarray(f5, dtype=np.float64),
-        "pre": pre,
-    }
-    energy = np.minimum(tables["f5"][:, n - 1], 0.0)
-    return energy, tables
+    return run
 
 
 def traceback(tables, b: int) -> str:
