@@ -79,9 +79,9 @@ def get_lib():
         lib.ct_pam_windows.restype = i64
         lib.ct_pam_windows.argtypes = [u8p, i64, u64p, i64p, i64]
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        lib.ct_fold_batch.restype = None
+        lib.ct_fold_batch.restype = ctypes.c_int
         lib.ct_fold_batch.argtypes = [
-            u8p, i64, i64, f64p, f64p,
+            u8p, i64, i64, f64p, i64, f64p,
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),
             ctypes.c_int,
         ]
@@ -119,8 +119,13 @@ def fold_batch_native(codes: np.ndarray, nthreads: int = 0):
     B, n = codes.shape
     energies = np.empty(B, dtype=np.float64)
     structures = np.empty((B, n), dtype=np.uint8)
-    lib.ct_fold_batch(codes, B, n, param_blob(), energies, structures,
-                      int(nthreads))
+    blob = param_blob()
+    rc = lib.ct_fold_batch(codes, B, n, blob, blob.shape[0], energies,
+                           structures, int(nthreads))
+    if rc != 0:
+        raise RuntimeError(
+            "native fold library parameter-layout mismatch; rebuild "
+            "_libcrackling_native.so (delete it and retry)")
     return ([bytes(row).decode() for row in structures], energies)
 
 

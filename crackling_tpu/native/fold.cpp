@@ -36,13 +36,23 @@ struct Params {
     const double *mm_i;         // (7,4,4)
     const double *mm_m;         // (7,4,4)
     const double *mm_e;         // (7,4,4)
+    const double *mm_1n;        // (7,4,4)
+    const double *mm_23;        // (7,4,4)
     const double *d5;           // (7,4)
     const double *d3;           // (7,4)
-    const double *tetra;        // (4096,)
+    const double *int11;        // (7,7,4,4)     [outer, rev(inner), si1, sj1]
+    const double *int21;        // (7,7,4,4,4)
+    const double *int22;        // (7,7,4,4,4,4)
+    const double *tetra;        // (4096,)  TOTAL hairpin energy, INF = none
     const double *tri;          // (1024,)
     const double *hexa;         // (65536,)
     double terminal_au, ninio, ninio_max, ml_close, ml_intern, ml_base;
 };
+
+constexpr int64_t BLOB_LEN =
+    7 * 7 + 3 * 513 + 6 * 7 * 4 * 4 + 2 * 7 * 4 +
+    7 * 7 * 4 * 4 + 7 * 7 * 4 * 4 * 4 + 7 * 7 * 4 * 4 * 4 * 4 +
+    4096 + 1024 + 65536 + 6;
 
 Params unpack(const double *blob) {
     Params p;
@@ -55,8 +65,13 @@ Params unpack(const double *blob) {
     p.mm_i = q;      q += 7 * 4 * 4;
     p.mm_m = q;      q += 7 * 4 * 4;
     p.mm_e = q;      q += 7 * 4 * 4;
+    p.mm_1n = q;     q += 7 * 4 * 4;
+    p.mm_23 = q;     q += 7 * 4 * 4;
     p.d5 = q;        q += 7 * 4;
     p.d3 = q;        q += 7 * 4;
+    p.int11 = q;     q += 7 * 7 * 4 * 4;
+    p.int21 = q;     q += 7 * 7 * 4 * 4 * 4;
+    p.int22 = q;     q += 7 * 7 * 4 * 4 * 4 * 4;
     p.tetra = q;     q += 4096;
     p.tri = q;       q += 1024;
     p.hexa = q;      q += 65536;
@@ -110,31 +125,33 @@ struct Fold {
         return PAIR_AU[p] ? P.terminal_au : 0.0;
     }
 
+    // ViennaRNA E_Hairpin semantics: a special tri/tetra/hexaloop entry is
+    // the loop's TOTAL energy and replaces the generic formula
     double hairpin_e(int i, int j, int p) const {
         int ls = j - i - 1;
         if (ls < 3) return INFE;
         double e = P.hairpin[std::min(ls, 512)];
         if (ls == 3) {
-            e += au(p);
             int idx = 0;
             for (int m = 0; m < 5; ++m) idx = idx * 4 + s[i + m];
-            e += P.tri[idx];
-        } else {
-            e += mm(P.mm_h, p, s[i + 1], s[j - 1]);
-            if (ls == 4) {
-                int idx = 0;
-                for (int m = 0; m < 6; ++m) idx = idx * 4 + s[i + m];
-                e += P.tetra[idx];
-            } else if (ls == 6) {
-                int idx = 0;
-                for (int m = 0; m < 8; ++m) idx = idx * 4 + s[i + m];
-                e += P.hexa[idx];
-            }
+            if (P.tri[idx] < INFE / 2) return P.tri[idx];
+            return e + au(p);
         }
-        return e;
+        if (ls == 4) {
+            int idx = 0;
+            for (int m = 0; m < 6; ++m) idx = idx * 4 + s[i + m];
+            if (P.tetra[idx] < INFE / 2) return P.tetra[idx];
+        } else if (ls == 6) {
+            int idx = 0;
+            for (int m = 0; m < 8; ++m) idx = idx * 4 + s[i + m];
+            if (P.hexa[idx] < INFE / 2) return P.hexa[idx];
+        }
+        return e + mm(P.mm_h, p, s[i + 1], s[j - 1]);
     }
 
-    // interior/bulge/stack transition energy (i,j) -> (k,l)
+    // interior/bulge/stack transition energy (i,j) -> (k,l), ViennaRNA
+    // E_IntLoop decomposition: dedicated 1x1/2x1/2x2 tables, 1xn and 2x3
+    // mismatch families, generic init+Ninio+mismatches otherwise
     double loop_e(int i, int j, int k, int l, int p1, int p2) const {
         int a = k - i - 1, b = j - l - 1;
         int size = a + b;
@@ -145,11 +162,26 @@ struct Fold {
             else e += au(p1) + au(p2);
             return e;
         }
-        double e = P.internal_[std::min(size, 512)]
-            + std::min(P.ninio_max, P.ninio * std::abs(a - b))
-            + mm(P.mm_i, p1, s[i + 1], s[j - 1])
-            + mm(P.mm_i, PAIR_REV[p2], s[l + 1], s[k - 1]);
-        return e;
+        int q2 = PAIR_REV[p2];
+        int si1 = s[i + 1], sj1 = s[j - 1], sp1 = s[k - 1], sq1 = s[l + 1];
+        if (a == 1 && b == 1)
+            return P.int11[((p1 * 7 + q2) * 4 + si1) * 4 + sj1];
+        if (a == 1 && b == 2)
+            return P.int21[(((p1 * 7 + q2) * 4 + si1) * 4 + sq1) * 4 + sj1];
+        if (a == 2 && b == 1)
+            return P.int21[(((q2 * 7 + p1) * 4 + sq1) * 4 + si1) * 4 + sp1];
+        if (a == 2 && b == 2)
+            return P.int22[((((p1 * 7 + q2) * 4 + si1) * 4 + sp1) * 4 + sq1)
+                           * 4 + sj1];
+        double ninio = std::min(P.ninio_max, P.ninio * std::abs(a - b));
+        if (a == 1 || b == 1)              // 1xn, n > 2
+            return P.internal_[std::min(size, 512)] + ninio
+                + mm(P.mm_1n, p1, si1, sj1) + mm(P.mm_1n, q2, sq1, sp1);
+        if (size == 5)                     // 2x3 / 3x2
+            return P.internal_[5] + ninio
+                + mm(P.mm_23, p1, si1, sj1) + mm(P.mm_23, q2, sq1, sp1);
+        return P.internal_[std::min(size, 512)] + ninio
+            + mm(P.mm_i, p1, si1, sj1) + mm(P.mm_i, q2, sq1, sp1);
     }
 
     // d2 stem weight inside a multiloop (t = mm_m) or exterior (t = mm_e):
@@ -334,9 +366,12 @@ extern "C" {
 // Fold B equal-length sequences (codes A=0 C=1 G=2 U=3, shape (B, n)).
 // energies: (B,) f64 (0.0 for a fully unpaired strand); structures: (B, n)
 // bytes of '(' ')' '.'. nthreads <= 0 means the OpenMP default.
-void ct_fold_batch(const uint8_t *seqs, int64_t B, int64_t n,
-                   const double *blob, double *energies, char *structures,
-                   int nthreads) {
+// Returns 0 on success, -1 when blob_len does not match this build's
+// parameter layout (library/Python version skew).
+int ct_fold_batch(const uint8_t *seqs, int64_t B, int64_t n,
+                  const double *blob, int64_t blob_len,
+                  double *energies, char *structures, int nthreads) {
+    if (blob_len != BLOB_LEN) return -1;
     Params P = unpack(blob);
 #ifdef _OPENMP
     if (nthreads > 0) omp_set_num_threads(nthreads);
@@ -349,6 +384,7 @@ void ct_fold_batch(const uint8_t *seqs, int64_t B, int64_t n,
         energies[b] = e;
         f.trace(structures + b * n);
     }
+    return 0;
 }
 
 }  // extern "C"

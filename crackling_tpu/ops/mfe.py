@@ -79,7 +79,9 @@ def _precompute(codes: np.ndarray):
     s_ip1 = codes[:, nxt]          # s[i+1]
     s_im1 = codes[:, prv]          # s[i-1]
 
-    # hairpin: init + (triloop: AU + tri bonus | >3: mismatch + special)
+    # hairpin: init + (triloop: AU | >3: mismatch); a special tri/tetra/
+    # hexaloop entry is a TOTAL energy replacing the generic formula
+    # (ViennaRNA E_Hairpin semantics; INF in the table means no entry)
     ls = i_idx[None, :] - i_idx[:, None] - 1                # (n, n) j - i - 1
     ls_b = np.broadcast_to(ls, (B, n, n))
     hp = t["hairpin"][np.clip(ls_b, 0, 512)].copy()
@@ -88,7 +90,7 @@ def _precompute(codes: np.ndarray):
     # special loops: packed subsequence codes
     for L, key in ((3, "tri"), (4, "tetra"), (6, "hexa")):
         tbl = t[key]
-        if not tbl.any():
+        if not (tbl < INF / 2).any():
             continue
         W = L + 2
         if n < W:
@@ -96,16 +98,45 @@ def _precompute(codes: np.ndarray):
         packs = np.zeros((B, n - W + 1), dtype=np.int64)
         for m in range(W):
             packs = packs * 4 + codes[:, m:n - W + 1 + m]
-        bonus = tbl[packs]                                  # (B, n-W+1)
+        total = tbl[packs]                                  # (B, n-W+1)
         ii = np.arange(n - W + 1)
-        hp[:, ii, ii + W - 1] += bonus
+        sub = hp[:, ii, ii + W - 1]
+        hp[:, ii, ii + W - 1] = np.where(total < INF / 2, total, sub)
     hp = np.where((ls_b >= 3) & can_pair, hp, INF)
 
-    # interior-loop mismatches
-    mi_out = t["mismatch_i"][pc, s_ip1[:, :, None], s_im1[:, None, :]]
+    # interior-loop mismatches (generic, 1xn, and 2x3 families)
     pc_rev = rp.PAIR_REV[pc]
-    # inner pair (k, l): mm_i[rev(pc[k,l]), s[l+1], s[k-1]]
-    mi_in = t["mismatch_i"][pc_rev, s_ip1[:, None, :], s_im1[:, :, None]]
+
+    def mi_pair(key):
+        out = t[key][pc, s_ip1[:, :, None], s_im1[:, None, :]]
+        # inner pair (k, l): tbl[rev(pc[k,l]), s[l+1], s[k-1]]
+        inn = t[key][pc_rev, s_ip1[:, None, :], s_im1[:, :, None]]
+        return out, inn
+
+    mi_out, mi_in = mi_pair("mismatch_i")
+    mi1n_out, mi1n_in = mi_pair("mismatch_1n")
+    mi23_out, mi23_in = mi_pair("mismatch_23")
+
+    # special small interior loops: complete transition energies (i,j) ->
+    # implied inner pair, ViennaRNA int11/int21/int22 conventions; INF
+    # where the inner pair is off-grid or unpairable
+    def shift(k):
+        return codes[:, np.clip(i_idx + k, 0, n - 1)]
+
+    s1, s2 = shift(1), shift(2)
+    sm1, sm2 = shift(-1), shift(-2)
+    pin = {(dk, dl): np.where(
+        (i_idx[:, None] + dk < n) & (i_idx[None, :] - dl >= 0),
+        pc_rev[:, np.clip(i_idx + dk, 0, n - 1)[:, None],
+               np.clip(i_idx - dl, 0, n - 1)[None, :]], 6)
+        for dk, dl in ((2, 2), (2, 3), (3, 2), (3, 3))}
+    e11 = t["int11"][pc, pin[(2, 2)], s1[:, :, None], sm1[:, None, :]]
+    e12 = t["int21"][pc, pin[(2, 3)], s1[:, :, None],
+                     sm2[:, None, :], sm1[:, None, :]]
+    e21 = t["int21"][pin[(3, 2)], pc, sm1[:, None, :],
+                     s1[:, :, None], s2[:, :, None]]
+    e22 = t["int22"][pc, pin[(3, 3)], s1[:, :, None], s2[:, :, None],
+                     sm2[:, None, :], sm1[:, None, :]]
 
     # d2 stem weights (boundary-aware): stem (k, l) gets
     # mm[pc, s[k-1], s[l+1]] inside, or single dangles at the boundary
@@ -128,24 +159,38 @@ def _precompute(codes: np.ndarray):
                + t["mismatch_m"][pc_rev, s_im1[:, None, :], s_ip1[:, :, None]])
 
     return dict(pc=pc, can_pair=can_pair, hp=hp, mi_out=mi_out, mi_in=mi_in,
+                mi1n_out=mi1n_out, mi1n_in=mi1n_in,
+                mi23_out=mi23_out, mi23_in=mi23_in,
+                e11=e11, e12=e12, e21=e21, e22=e22,
                 mlw=mlw, extw=extw, mlclose=mlclose,
                 stack=t["stack"], bulge=t["bulge"], internal=t["internal"])
 
 
 def _loop_grids():
-    """Static (MAXLOOP+1, MAXLOOP+1) interior-loop initiation grid
-    (init + Ninio; INF where invalid) and the bulge vector."""
+    """Static interior-loop initiation grids.
+
+    Returns ``(grid, c1n, c23)``: the generic (L-1, L-1) init+Ninio grid
+    for a,b in 1..L-1 with INF at every cell handled by a dedicated path
+    (a==1 or b==1 rows/cols, and the 2x2 / 2x3 / 3x2 cells); the 1xn
+    init+Ninio vector over n = 3..L-1; and the 2x3 init+Ninio scalar."""
     t = rp.tables(512)
     L = MAXLOOP
     a = np.arange(1, L)[:, None]
     b = np.arange(1, L)[None, :]
+    special = ((a == 1) | (b == 1)
+               | ((a == 2) & (b == 2)) | ((a == 2) & (b == 3))
+               | ((a == 3) & (b == 2)))
     grid = np.where(
-        a + b <= L,
+        (a + b <= L) & ~special,
         t["internal"][np.clip(a + b, 0, 512)]
         + np.minimum(rp.NINIO_MAX, rp.NINIO * np.abs(a - b)),
         INF,
     )
-    return grid  # (L-1, L-1) for a,b in 1..L-1
+    ns = np.arange(3, L)
+    c1n = (t["internal"][1 + ns]
+           + np.minimum(rp.NINIO_MAX, rp.NINIO * (ns - 1)))
+    c23 = float(t["internal"][5] + min(rp.NINIO_MAX, rp.NINIO))
+    return grid, c1n, c23
 
 
 def fold_batch(codes: np.ndarray):
@@ -162,7 +207,7 @@ def fold_batch(codes: np.ndarray):
     codes = np.asarray(codes)
     B, n = codes.shape
     pre = _precompute(codes)
-    grid = _loop_grids()                       # (29, 29)
+    grid, c1n, c23 = _loop_grids()
     L = MAXLOOP
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
@@ -184,11 +229,16 @@ def fold_batch(codes: np.ndarray):
     au_out = cast(rp.PAIR_IS_AU[pre["pc"]] * rp.TERMINAL_AU)
     pc_j = jnp.asarray(pre["pc"])
     can_j = jnp.asarray(pre["can_pair"])
+    spec_j = [cast(pre[k]) for k in ("e11", "e12", "e21", "e22")]
+    mi1n_j = [cast(pre[k]) for k in ("mi1n_out", "mi1n_in")]
+    mi23_j = [cast(pre[k]) for k in ("mi23_out", "mi23_in")]
+    c1n_j = cast(c1n)
 
-    run = _fold_run(B, n, bool(jax.config.jax_enable_x64))
+    run = _fold_run(B, n, bool(jax.config.jax_enable_x64), float(c23))
     V, fML, fM1, f5 = run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j,
                           mlclose_j, au_out, pc_j, can_j,
-                          stack_j, bulge_j, grid_j)
+                          stack_j, bulge_j, grid_j,
+                          *spec_j, *mi1n_j, *mi23_j, c1n_j)
 
     tables = {
         "eps": 1e-6 if dtype == jnp.float64 else 1e-2,
@@ -203,7 +253,7 @@ def fold_batch(codes: np.ndarray):
 
 
 @functools.lru_cache(maxsize=8)
-def _fold_run(B: int, n: int, x64: bool):
+def _fold_run(B: int, n: int, x64: bool, c23: float):
     """Shape-cached jitted DP core.
 
     ``fold_batch`` used to define this under a fresh ``jax.jit`` per
@@ -225,10 +275,13 @@ def _fold_run(B: int, n: int, x64: bool):
     a_in = np.arange(1, L)                     # interior a (29,)
     b_in = np.arange(1, L)
     a_bul = np.arange(0, L + 1)                # bulge sizes (31,)
+    n_1n = np.arange(3, L)                     # 1xn long-side sizes (27,)
 
     @jax.jit
     def run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j, mlclose_j, au_out,
-            pc_j, can_j, stack_j, bulge_j, grid_j):
+            pc_j, can_j, stack_j, bulge_j, grid_j,
+            e11_j, e12_j, e21_j, e22_j,
+            mi1n_out_j, mi1n_in_j, mi23_out_j, mi23_in_j, c1n_j):
         INFD = jnp.asarray(INF, dtype)
 
         V0 = jnp.full((B, n, n), INFD, dtype=dtype)
@@ -277,7 +330,8 @@ def _fold_run(B: int, n: int, x64: bool):
             valid_a = (iidx[:, None] + 1 + bsz[None, :])[None] < (j - 1)
             v_new = jnp.minimum(v_new, jnp.min(
                 jnp.where(valid_a, ea, INFD), axis=2))
-            # interior loops a,b >= 1 via the W window gather
+            # generic interior loops via the W window gather (cells with a
+            # dedicated ViennaRNA path are INF in grid_j and handled below)
             kki = clipg(iidx[:, None] + 1 + a_in[None, :])     # (n, 29)
             lli = clipg(j - 1 - b_in)                          # (29,)
             win = W[:, kki[:, :, None], lli[None, None, :]]
@@ -287,6 +341,45 @@ def _fold_run(B: int, n: int, x64: bool):
             cand = jnp.where(valid_i[None], cand, INFD)
             v_new = jnp.minimum(
                 v_new, mi_out_j[:, :, j] + jnp.min(cand, axis=(2, 3)))
+            # 1x1 / 1x2 / 2x1 / 2x2 interior loops: dedicated tables; the
+            # precomputed E matrices are the complete transition energy
+            kk2 = clipg(iidx + 2)
+            kk3 = clipg(iidx + 3)
+            kk4 = clipg(iidx + 4)
+            jm2, jm3, jm4 = clipg(j - 2), clipg(j - 3), clipg(j - 4)
+
+            def spec(E, kk, ll, dk, dl):
+                ok = (iidx + dk) < (j - dl)
+                return jnp.where(ok, E[:, :, j] + V[:, kk, ll], INFD)
+
+            v_new = jnp.minimum(v_new, spec(e11_j, kk2, jm2, 2, 2))
+            v_new = jnp.minimum(v_new, spec(e12_j, kk2, jm3, 2, 3))
+            v_new = jnp.minimum(v_new, spec(e21_j, kk3, jm2, 3, 2))
+            v_new = jnp.minimum(v_new, spec(e22_j, kk3, jm3, 3, 3))
+            # 2x3 / 3x2: dedicated mismatch family, fixed inner offsets
+            e23 = (c23 + mi23_out_j[:, :, j]
+                   + mi23_in_j[:, kk3, jm4] + V[:, kk3, jm4])
+            v_new = jnp.minimum(
+                v_new, jnp.where((iidx + 3) < (j - 4), e23, INFD))
+            e32 = (c23 + mi23_out_j[:, :, j]
+                   + mi23_in_j[:, kk4, jm3] + V[:, kk4, jm3])
+            v_new = jnp.minimum(
+                v_new, jnp.where((iidx + 4) < (j - 3), e32, INFD))
+            # 1xn (n >= 3): inner (i+2, j-1-n), 1n mismatch family
+            ll1 = clipg(j - 1 - n_1n)                          # (27,)
+            w1 = (V[:, kk2[:, None], ll1[None, :]]
+                  + mi1n_in_j[:, kk2[:, None], ll1[None, :]])
+            ok1 = (iidx + 2)[:, None] < (j - 1 - n_1n)[None, :]
+            cand1 = jnp.where(ok1[None], c1n_j[None, None] + w1, INFD)
+            v_new = jnp.minimum(
+                v_new, mi1n_out_j[:, :, j] + jnp.min(cand1, axis=2))
+            # nx1 (n >= 3): inner (i+1+n, j-2)
+            kkn = clipg(iidx[:, None] + 1 + n_1n[None, :])     # (n, 27)
+            wn = V[:, kkn, jm2] + mi1n_in_j[:, kkn, jm2]
+            okn = (iidx[:, None] + 1 + n_1n[None, :]) < (j - 2)
+            candn = jnp.where(okn[None], c1n_j[None, None] + wn, INFD)
+            v_new = jnp.minimum(
+                v_new, mi1n_out_j[:, :, j] + jnp.min(candn, axis=2))
             # multiloop closure
             fm1_col = fM1[:, :, clipg(j - 1)]                  # (B, n) over k
             # fML(i+1, k-1): shift rows i -> i+1, then cols k -> k-1
@@ -366,7 +459,11 @@ def traceback(tables, b: int) -> str:
     au = rp.PAIR_IS_AU[pc] * rp.TERMINAL_AU
     stack_t = pre["stack"]
     bulge_t = pre["bulge"]
-    grid = _loop_grids()
+    internal_t = pre["internal"]
+    e11, e12 = pre["e11"][b], pre["e12"][b]
+    e21, e22 = pre["e21"][b], pre["e22"][b]
+    mi1n_out, mi1n_in = pre["mi1n_out"][b], pre["mi1n_in"][b]
+    mi23_out, mi23_in = pre["mi23_out"][b], pre["mi23_in"][b]
     n = V.shape[0]
     L = MAXLOOP
     out = ["." for _ in range(n)]
@@ -375,6 +472,7 @@ def traceback(tables, b: int) -> str:
     EPS = tables.get("eps", 1e-2)
 
     def loop_cost(i, j, k, l):
+        # mirrors native/fold.cpp loop_e (ViennaRNA E_IntLoop)
         a, bb = k - i - 1, j - l - 1
         size = a + bb
         if size == 0:
@@ -383,7 +481,22 @@ def traceback(tables, b: int) -> str:
             if size == 1:
                 return stack_t[pc[i, j], pc[k, l]] + bulge_t[1]
             return bulge_t[size] + au[i, j] + au[k, l]
-        return grid[a - 1, bb - 1] + mi_out[i, j] + mi_in[k, l]
+        if (a, bb) == (1, 1):
+            return e11[i, j]
+        if (a, bb) == (1, 2):
+            return e12[i, j]
+        if (a, bb) == (2, 1):
+            return e21[i, j]
+        if (a, bb) == (2, 2):
+            return e22[i, j]
+        ninio = min(rp.NINIO_MAX, rp.NINIO * abs(a - bb))
+        if a == 1 or bb == 1:
+            return (internal_t[size] + ninio
+                    + mi1n_out[i, j] + mi1n_in[k, l])
+        if size == 5:
+            return (internal_t[5] + ninio
+                    + mi23_out[i, j] + mi23_in[k, l])
+        return internal_t[size] + ninio + mi_out[i, j] + mi_in[k, l]
 
     def trace_v(i, j):
         out[i] = "("

@@ -379,6 +379,7 @@ class Pipeline:
                 threads=int(cm["rnafold"]["threads"]),
                 low_energy_threshold=float(cm["rnafold"]["low_energy_threshold"]),
                 high_energy_threshold=float(cm["rnafold"]["high_energy_threshold"]),
+                parameter_file=cm["rnafold"].get("parameter-file", "") or None,
             )
             pg_len = int(cm["rnafold"]["page-length"])
             m = self.filter_mask(t, MODULE_MM10DB)

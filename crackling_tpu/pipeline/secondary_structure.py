@@ -11,9 +11,11 @@ making the folding engine pluggable:
   (parity backend; used automatically when the binary is on PATH);
 * ``native`` — the C++ Zuker engine (native/fold.cpp, OpenMP over the
   batch; RNAfold-class speed). Energy model: ops/rna_params.py —
-  Turner-2004-style with d2 dangles; structures/energies approximate
-  RNAfold (see the provenance notes in rna_params), so verdicts on this
-  one sub-test may differ from the reference near the energy thresholds;
+  ViennaRNA's exact loop decomposition; with ``parameter_file`` set to a
+  ViennaRNA ``rna_turner2004.par`` the tables are digit-exact, otherwise
+  reconstructed defaults apply (see the provenance notes in rna_params)
+  and verdicts on this one sub-test may differ from the reference near
+  the energy thresholds;
 * ``tpu`` — the batched JAX Zuker DP (ops/mfe.py), same energy model as
   ``native`` (cross-engine agreement tested in tests/test_mfe.py); for
   deployments without a host toolchain.
@@ -43,23 +45,24 @@ from ..codec import trans_to_dna
 
 
 def fold_constructs_vienna(rna_inputs: list[str], binary: str, threads: int,
-                           workdir: str | None = None) -> list[str]:
+                           workdir: str | None = None,
+                           param_file: str | None = None) -> list[str]:
     """Fold with the RNAfold binary; returns raw L2 lines
     ('structure (energy)') in input order, replicating the reference
     invocation ``RNAfold --noPS -j{threads} -i {in} -o``
-    (Crackling.py:426-435)."""
+    (Crackling.py:426-435). ``param_file`` adds ``-P <file>`` so the
+    binary and the in-process engines run the same parameter set."""
     with tempfile.TemporaryDirectory(dir=workdir) as td:
         inp = os.path.join(td, "rnafold-input.txt")
         with open(inp, "w") as fp:
             fp.write("".join(s + "\n" for s in rna_inputs))
+        argv = [binary, "--noPS", f"-j{threads}", "-i", inp, "-o"]
+        if param_file:
+            argv += ["-P", os.path.abspath(param_file)]
         # argv list, no shell: the binary path comes from user config
         # (reference runs through a shell, Helpers.py:39-42; the command
         # semantics are identical without one)
-        subprocess.run(
-            [binary, "--noPS", f"-j{threads}", "-i", inp, "-o"],
-            check=True,
-            cwd=td,
-        )
+        subprocess.run(argv, check=True, cwd=td)
         out = os.path.join(td, "RNAfold_output.fold")
         lines = open(out).read().rstrip("\n").split("\n")
     # output alternates sequence line / structure+energy line
@@ -101,7 +104,8 @@ class SecondaryStructureGate:
     def __init__(self, backend: str = "auto", binary: str = "RNAfold",
                  threads: int = os.cpu_count() or 1,
                  low_energy_threshold: float = -30.0,
-                 high_energy_threshold: float = -18.0):
+                 high_energy_threshold: float = -18.0,
+                 parameter_file: str | None = None):
         if backend == "auto":
             if shutil.which(binary):
                 backend = "vienna"
@@ -116,6 +120,13 @@ class SecondaryStructureGate:
         self.threads = threads
         self.low = low_energy_threshold
         self.high = high_energy_threshold
+        self.parameter_file = parameter_file or None
+        if self.parameter_file:
+            # digit-exact Turner tables for the in-process engines; the
+            # vienna backend gets the same file via RNAfold -P
+            from ..ops.rna_params import set_parameter_file
+
+            set_parameter_file(self.parameter_file)
         self._pat_structure = re.compile(PATTERN_RNA_STRUCTURE)
         self._pat_energy = re.compile(PATTERN_RNA_ENERGY)
 
@@ -149,7 +160,9 @@ class SecondaryStructureGate:
                 uniq[s] = len(uniq_inputs)
                 uniq_inputs.append(s)
         if self.backend == "vienna":
-            l2_uniq = fold_constructs_vienna(uniq_inputs, self.binary, self.threads)
+            l2_uniq = fold_constructs_vienna(uniq_inputs, self.binary,
+                                             self.threads,
+                                             param_file=self.parameter_file)
         elif self.backend == "native":
             l2_uniq = fold_constructs_native(uniq_inputs, self.threads)
         else:

@@ -91,22 +91,28 @@ def _structure_energy(codes, pairs):
         p1 = pair_code(i, j)
         ch = children(i, j)
         if not ch:
+            # ViennaRNA E_Hairpin: a special tri/tetra/hexaloop entry is
+            # the TOTAL loop energy replacing the generic formula
             ls = j - i - 1
-            e = t["hairpin"][min(ls, 512)]
-            if ls == 3:
-                e += au(p1)
-            else:
-                e += t["mismatch_h"][p1, s[i + 1], s[j - 1]]
             key = {3: "tri", 4: "tetra", 6: "hexa"}.get(ls)
             if key is not None:
                 idx = 0
                 for m in range(i, j + 1):
                     idx = idx * 4 + int(s[m])
-                e += t[key][idx]
+                if t[key][idx] < rp.INF / 2:
+                    return t[key][idx]
+            e = t["hairpin"][min(ls, 512)]
+            if ls == 3:
+                e += au(p1)
+            else:
+                e += t["mismatch_h"][p1, s[i + 1], s[j - 1]]
             return e
         if len(ch) == 1:
+            # ViennaRNA E_IntLoop: dedicated small-loop tables + 1xn/2x3
+            # mismatch families + generic init/Ninio/mismatch
             (k, l) = ch[0]
             p2 = pair_code(k, l)
+            q2 = rp.PAIR_REV[p2]
             inner = loop_energy(k, l)
             a, b = k - i - 1, j - l - 1
             size = a + b
@@ -119,11 +125,28 @@ def _structure_energy(codes, pairs):
                 else:
                     e += au(p1) + au(p2)
                 return e + inner
-            return (t["internal"][min(size, 512)]
-                    + min(rp.NINIO_MAX, rp.NINIO * abs(a - b))
-                    + t["mismatch_i"][p1, s[i + 1], s[j - 1]]
-                    + t["mismatch_i"][rp.PAIR_REV[p2], s[l + 1], s[k - 1]]
-                    + inner)
+            si1, sj1 = s[i + 1], s[j - 1]
+            sp1, sq1 = s[k - 1], s[l + 1]
+            if (a, b) == (1, 1):
+                return t["int11"][p1, q2, si1, sj1] + inner
+            if (a, b) == (1, 2):
+                return t["int21"][p1, q2, si1, sq1, sj1] + inner
+            if (a, b) == (2, 1):
+                return t["int21"][q2, p1, sq1, si1, sp1] + inner
+            if (a, b) == (2, 2):
+                return t["int22"][p1, q2, si1, sp1, sq1, sj1] + inner
+            ninio = min(rp.NINIO_MAX, rp.NINIO * abs(a - b))
+            if a == 1 or b == 1:
+                return (t["internal"][min(size, 512)] + ninio
+                        + t["mismatch_1n"][p1, si1, sj1]
+                        + t["mismatch_1n"][q2, sq1, sp1] + inner)
+            if size == 5:
+                return (t["internal"][5] + ninio
+                        + t["mismatch_23"][p1, si1, sj1]
+                        + t["mismatch_23"][q2, sq1, sp1] + inner)
+            return (t["internal"][min(size, 512)] + ninio
+                    + t["mismatch_i"][p1, si1, sj1]
+                    + t["mismatch_i"][q2, sq1, sp1] + inner)
         # multiloop
         e = (rp.ML_CLOSE + rp.ML_INTERN + au(p1)
              + t["mismatch_m"][rp.PAIR_REV[p1], s[j - 1], s[i + 1]])
