@@ -234,7 +234,8 @@ def fold_batch(codes: np.ndarray):
     mi23_j = [cast(pre[k]) for k in ("mi23_out", "mi23_in")]
     c1n_j = cast(c1n)
 
-    run = _fold_run(B, n, bool(jax.config.jax_enable_x64), float(c23))
+    run = _fold_run(B, n, bool(jax.config.jax_enable_x64), float(c23),
+                    float(rp.ML_BASE))
     V, fML, fM1, f5 = run(hp_j, mi_out_j, mi_in_j, mlw_j, extw_j,
                           mlclose_j, au_out, pc_j, can_j,
                           stack_j, bulge_j, grid_j,
@@ -253,7 +254,7 @@ def fold_batch(codes: np.ndarray):
 
 
 @functools.lru_cache(maxsize=8)
-def _fold_run(B: int, n: int, x64: bool, c23: float):
+def _fold_run(B: int, n: int, x64: bool, c23: float, ml_base: float):
     """Shape-cached jitted DP core.
 
     ``fold_batch`` used to define this under a fresh ``jax.jit`` per
@@ -400,23 +401,27 @@ def _fold_run(B: int, n: int, x64: bool, c23: float):
 
             # ----- fM1(i, j) -----
             fm1_new = jnp.minimum(
-                fM1[:, :, clipg(j - 1)] + rp.ML_BASE,
+                fM1[:, :, clipg(j - 1)] + ml_base,
                 v_new + mlw_j[:, :, j],
             )
             fM1 = fM1.at[:, :, j].set(fm1_new)
 
             # ----- fML(i, j) -----
             fml_new = jnp.minimum(
-                fML[:, :, clipg(j - 1)] + rp.ML_BASE, fm1_new)
+                fML[:, :, clipg(j - 1)] + ml_base, fm1_new)
             fml_ik2 = jnp.concatenate(
                 [jnp.full((B, n, 1), INFD, dtype), fML[:, :, :-1]], axis=2)
             two = jnp.min(fml_ik2 + fm1_new[:, None, :], axis=2)
             fml_new = jnp.minimum(fml_new, two)
-            # left-unpaired: fML(i,j) <- fML(i+1,j) + base; with base == 0
-            # this is a reverse cumulative min along i
+            # left-unpaired: fML(i,j) <- fML(i+1,j) + ml_base, i.e.
+            # min over k >= i of fML(k,j) + (k-i)*ml_base. Rebase by
+            # +i*ml_base, reverse-cummin, rebase back (the bias terms
+            # cancel exactly when ml_base == 0, the Turner-2004 default).
+            ibias = ml_base * iidx.astype(dtype)
             fml_new = jnp.flip(
-                lax.associative_scan(jnp.minimum, jnp.flip(fml_new, 1),
-                                     axis=1), 1)
+                lax.associative_scan(jnp.minimum,
+                                     jnp.flip(fml_new + ibias[None, :], 1),
+                                     axis=1), 1) - ibias[None, :]
             fML = fML.at[:, :, j].set(fml_new)
             return V, W, Vau, fML, fM1
 

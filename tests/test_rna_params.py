@@ -145,3 +145,56 @@ def test_override_engines_match_bruteforce(tmp_path):
     assert rp.NINIO == pytest.approx(0.60)
     _, e_default = native.fold_batch_native(codes)
     assert not np.allclose(e_default, e_nat)
+
+
+def _has_multiloop(struct: str) -> bool:
+    """True if any base pair directly encloses >= 2 top-level stems."""
+    pairs = dict(_dotbracket_pairs(struct))
+    for i, j in pairs.items():
+        k, stems = i + 1, 0
+        while k < j:
+            if struct[k] == "(":
+                stems += 1
+                k = dict(_dotbracket_pairs(struct))[k] + 1
+            else:
+                k += 1
+        if stems >= 2:
+            return True
+    return False
+
+
+def test_multiloop_ml_base_engines_match(tmp_path):
+    """Nonzero per-unpaired-base multiloop cost (ML_params cu) exercised on
+    multiloop-forming sequences: the JAX DP's left-unpaired fML transition
+    must carry ML_BASE (it is a rebased cumulative min, not a plain one),
+    and the shape-cached jit must not reuse a trace from the previous
+    parameter set (regression: the cache key lacked ML_BASE)."""
+    # minimal override: default tables, but a nonzero per-unpaired-base
+    # multiloop cost (cu=5 dcal; ML_CLOSE/ML_INTERN kept at the engine
+    # defaults so multiloops stay energetically reachable). The
+    # engineered sequences fold multiloops with unpaired bases directly
+    # after the opening pair — the exact path the buggy transition made
+    # free (a leading-dot ML segment enters fML via the i+1 scan).
+    par = tmp_path / "ml.par"
+    par.write_text(
+        "## RNAfold parameter file v2.0\n\n# ML_params\n"
+        "/* cu cu_dH cc cc_dH ci ci_dH */\n5 0 340 3000 40 -220\n\n# END\n")
+    rng = np.random.default_rng(11)
+    seqs = ["GGCAGGGCAAAGCCCGGGCAAAGCCCGCC",
+            "GCGCAGGCGAAAGCCGGCGAAAGCCGCGC"]
+    seqs += ["".join(rng.choice(list("GCAU"), 29)) for _ in range(6)]
+    try:
+        # populate the (B, n) jit cache under the DEFAULT model first, so
+        # a stale-cache bug would reuse ML_BASE == 0 after the override
+        e_before = np.asarray(fold_sequences(seqs)[1])
+        rp.set_parameter_file(str(par))
+        assert rp.ML_BASE == pytest.approx(0.05)
+        codes = np.stack([encode_rna(x) for x in seqs])
+        s_nat, e_nat = native.fold_batch_native(codes)
+        s_jax, e_jax = fold_sequences(seqs)
+        np.testing.assert_allclose(np.asarray(e_jax), e_nat, atol=1e-6)
+        assert list(s_jax) == list(s_nat)
+        assert any(_has_multiloop(s) for s in s_nat), s_nat
+        assert not np.allclose(np.asarray(e_jax), e_before)
+    finally:
+        rp.set_parameter_file(None)
