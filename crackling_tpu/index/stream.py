@@ -252,6 +252,14 @@ def stream_sorted_sites_from_text(path: str | Path,
             rem = len(buf) % width
             if rem:
                 buf += fp.read(width - rem)
+            rem = len(buf) % width
+            if rem:
+                # final line without a trailing newline: pad to width
+                if rem >= seq_length:
+                    buf += b"\n" * (width - rem)
+                else:
+                    raise ValueError(
+                        f"{path}: trailing {rem}-byte partial site line")
             arr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, width)
             sigs = _pack_lines(arr, seq_length)
             lex = native.lex_convert_native(sigs, seq_length)

@@ -251,10 +251,7 @@ class DenseIsslScorer:
         """Queries -> (qsp (S, B, QB) int32 slot table, QB). Pad id = n;
         returns (None, needed) on qb_cap overflow."""
         n = sigs.shape[0]
-        w = self.index.slice_width
-        shifts = (np.arange(self.S, dtype=np.uint64) * np.uint64(w))[:, None]
-        vals = ((sigs[None, :] >> shifts)
-                & np.uint64(self.B - 1)).astype(np.int64)        # (S, n)
+        vals = self.index.slice_values(sigs).astype(np.int64)    # (S, n)
         counts = np.zeros((self.S, self.B), dtype=np.int64)
         for s in range(self.S):
             counts[s] = np.bincount(vals[s], minlength=self.B)

@@ -373,14 +373,21 @@ class Pipeline:
             printer("mm10db - check secondary structure.")
             ss_timer = self.metrics.stage("secondary_structure")
             ss_timer.__enter__()
-            gate = SecondaryStructureGate(
-                backend=cm["tpu"].get("rnafold-backend", "auto"),
-                binary=cm["rnafold"]["binary"],
-                threads=int(cm["rnafold"]["threads"]),
-                low_energy_threshold=float(cm["rnafold"]["low_energy_threshold"]),
-                high_energy_threshold=float(cm["rnafold"]["high_energy_threshold"]),
-                parameter_file=cm["rnafold"].get("parameter-file", "") or None,
-            )
+            # config-determined: build once per run (the constructor
+            # installs the parameter file and rebuilds the Turner tables)
+            gate = getattr(self, "_ss_gate", None)
+            if gate is None:
+                gate = self._ss_gate = SecondaryStructureGate(
+                    backend=cm["tpu"].get("rnafold-backend", "auto"),
+                    binary=cm["rnafold"]["binary"],
+                    threads=int(cm["rnafold"]["threads"]),
+                    low_energy_threshold=float(
+                        cm["rnafold"]["low_energy_threshold"]),
+                    high_energy_threshold=float(
+                        cm["rnafold"]["high_energy_threshold"]),
+                    parameter_file=cm["rnafold"].get("parameter-file", "")
+                    or None,
+                )
             pg_len = int(cm["rnafold"]["page-length"])
             m = self.filter_mask(t, MODULE_MM10DB)
             for page in _batched(np.flatnonzero(m), pg_len):

@@ -121,12 +121,13 @@ class SecondaryStructureGate:
         self.low = low_energy_threshold
         self.high = high_energy_threshold
         self.parameter_file = parameter_file or None
-        if self.parameter_file:
-            # digit-exact Turner tables for the in-process engines; the
-            # vienna backend gets the same file via RNAfold -P
-            from ..ops.rna_params import set_parameter_file
+        # digit-exact Turner tables for the in-process engines; the
+        # vienna backend gets the same file via RNAfold -P. Installed
+        # unconditionally (None resets to defaults) so a parameter set
+        # from an earlier gate in the same process never leaks in.
+        from ..ops.rna_params import set_parameter_file
 
-            set_parameter_file(self.parameter_file)
+        set_parameter_file(self.parameter_file)
         self._pat_structure = re.compile(PATTERN_RNA_STRUCTURE)
         self._pat_energy = re.compile(PATTERN_RNA_ENERGY)
 
