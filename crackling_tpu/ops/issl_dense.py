@@ -248,9 +248,9 @@ class DenseIsslScorer:
         return dict(maskw=maskw, mitl=mitl, cfdl=cfdl)
 
     def _plan(self, sigs: np.ndarray):
-        """Queries -> (qsp (S, B, QB) int32 slot table, QB). Pad id = n;
-        returns (None, needed) on qb_cap overflow."""
-        n = sigs.shape[0]
+        """Queries -> padded max bucket occupancy QB (the only
+        data-dependent *shape*; the slot table itself is built on
+        device). Returns (None, needed) on qb_cap overflow."""
         vals = self.index.slice_values(sigs).astype(np.int64)    # (S, n)
         counts = np.zeros((self.S, self.B), dtype=np.int64)
         for s in range(self.S):
@@ -258,17 +258,7 @@ class DenseIsslScorer:
         qb = int(counts.max())
         if qb > self.qb_cap:
             return None, qb
-        qb = -(-qb // 64) * 64
-        order = np.argsort(vals, axis=1, kind="stable").astype(np.int32)
-        sorted_vals = np.take_along_axis(vals, order.astype(np.int64), 1)
-        # rank of each sorted slot within its bucket's run
-        starts = np.cumsum(counts, axis=1) - counts                # (S, B)
-        rank = (np.arange(n, dtype=np.int64)[None, :]
-                - np.take_along_axis(starts, sorted_vals, 1))
-        qsp = np.full((self.S, self.B, qb), n, dtype=np.int32)
-        s_idx = np.repeat(np.arange(self.S), n).reshape(self.S, n)
-        qsp[s_idx, sorted_vals, rank] = order
-        return qsp, qb
+        return -(-qb // 64) * 64, qb
 
     def _get_run(self, qb: int):
         if qb in self._runs:
@@ -317,6 +307,27 @@ class DenseIsslScorer:
         mitl_c = np.asarray(wc["mitl"], np.float32)
         cfdl_c = np.asarray(wc["cfdl"], np.float32)
 
+        def plan_on_device(q_lo, q_hi):
+            """(S, B, qb) slot table from the queries — on device, so
+            the host uploads only the 8 bytes/query of signatures (the
+            2 MB/page table upload dominated the tunnel h2d time)."""
+            n = q_lo.shape[0]
+            # slice values: w=8, 5 slices over 40 bits (0-3 in lo, 4 in hi)
+            vals = jnp.stack(
+                [((q_lo >> (8 * s)) & jnp.uint32(0xFF)) if s < 4
+                 else (q_hi & jnp.uint32(0xFF))
+                 for s in range(S)]).astype(jnp.int32)          # (S, n)
+            order = jnp.argsort(vals, axis=1, stable=True).astype(jnp.int32)
+            sorted_vals = jnp.take_along_axis(vals, order, axis=1)
+            s_idx = jnp.arange(S, dtype=jnp.int32)[:, None]
+            counts = jnp.zeros((S, B), jnp.int32).at[s_idx, vals].add(1)
+            starts = jnp.cumsum(counts, axis=1) - counts        # (S, B)
+            rank = (jnp.arange(n, dtype=jnp.int32)[None, :]
+                    - jnp.take_along_axis(starts, sorted_vals, axis=1))
+            return jnp.full((S, B, qb), n, jnp.int32).at[
+                jnp.broadcast_to(s_idx, (S, n)),
+                sorted_vals, rank].set(order)
+
         def prelude(q_lo, q_hi, qsp):
             n = q_lo.shape[0]
             p = jnp.arange(20, dtype=jnp.uint32)
@@ -345,7 +356,8 @@ class DenseIsslScorer:
             g = stack[:, qsp]                 # (5, S, B, qb, 128)
             return jnp.transpose(g, (1, 2, 0, 4, 3))
 
-        def run(q_lo, q_hi, qsp, boff, blens, entries):
+        def run(q_lo, q_hi, boff, blens, entries):
+            qsp = plan_on_device(q_lo, q_hi)
             wts = prelude(q_lo, q_hi, qsp)
             mit_slots, cfd_slots = call(boff, blens, wts, entries)
             mit_b = jnp.sum(mit_slots, axis=2).reshape(-1)   # (S*B*qb,)
@@ -370,8 +382,8 @@ class DenseIsslScorer:
         pending = []        # (lo_idx, length, device (mit, cfd))
 
         def run_page(lo_idx, page):
-            qsp, qb = self._plan(page)
-            if qsp is None:
+            qb, needed = self._plan(page)
+            if qb is None:
                 half = page.shape[0] // 2
                 if half == 0:
                     raise RuntimeError("query bucket overflow; raise qb_cap")
@@ -382,7 +394,6 @@ class DenseIsslScorer:
             fn = self._get_run(qb)
             mc = fn(jnp.asarray(lo.view(np.uint32)),
                     jnp.asarray(hi.view(np.uint32)),
-                    jnp.asarray(qsp),
                     self.bucket_offsets, self.bucket_lens, self.entries)
             pending.append((lo_idx, page.shape[0], mc))
 
