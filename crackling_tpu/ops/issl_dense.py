@@ -418,18 +418,33 @@ class DenseIsslScorer:
 class HybridIsslScorer:
     """Dense-engine speed with reference-exact verdicts for all 5 methods.
 
-    Full-scan verdicts already match the binary's early-exit verdicts in
-    exact arithmetic (an early exit only happens once rejection is
-    decided, and full-scan sums are >= partial sums, so the full-scan
-    score can only confirm the rejection; see isslScoreOfftargets.cpp:
-    326,467-496). The one remaining risk is the dense engine's f32/bf16
-    rounding flipping a comparison right at the threshold. This wrapper
+    For mit/cfd/and/or, full-scan verdicts match the binary's
+    early-exit verdicts in exact arithmetic: those methods exit only
+    once rejection is decided (note the reference's inverted naming —
+    'and' REJECTS iff both scores are below threshold, 'or' iff either
+    is, Crackling.py:814-828 — which makes the binary's exit conditions
+    at isslScoreOfftargets.cpp:467-478 exactly reject-decided), and
+    full-scan sums are >= partial sums, so the full scan can only
+    confirm the rejection. The remaining risk there is f32/bf16
+    rounding flipping a comparison at the threshold, so this wrapper
     re-scores every query whose method-relevant margin
-    ``|score - threshold|`` is within ``band`` through the bit-exact MXU
-    engine (built lazily, so clean runs never pay for it). The default
-    band of 1.0 score units is ~50x the largest dense-vs-binary deviation
-    observed on the bench ladder (<0.02); re-scored queries also get the
-    binary's exact early-exit score values.
+    ``|score - threshold|`` is within ``band`` through the bit-exact
+    MXU engine (built lazily, so clean runs never pay for it). The
+    default band of 1.0 score units is ~50x the largest dense-vs-binary
+    deviation observed on the bench ladder (<0.02); re-scored queries
+    also get the binary's exact early-exit score values.
+
+    ``avg`` is different: the binary exits on the average of the SUMS
+    (isslScoreOfftargets.cpp:479-484) while the pipeline thresholds the
+    average of the SCORES (Crackling.py:831), and by convexity of
+    ``10000/(100+x)`` an exited query's frozen score average can sit
+    ABOVE the threshold — i.e. the reference can accept a query whose
+    full-scan average is arbitrarily far below it. Accepts are still
+    safe under a full scan (frozen sums <= full sums componentwise, so
+    frozen scores >= full scans'), so for ``avg`` every query the dense
+    scan does NOT accept by more than ``band`` is re-scored exactly —
+    the avg path degrades toward MXU-engine cost as the reject rate
+    grows, but verdicts stay reference-exact.
     """
 
     def __init__(self, index: IsslIndex, max_dist: int | None = None,
@@ -445,24 +460,35 @@ class HybridIsslScorer:
 
     def _get_exact(self):
         if self._exact is None:
-            from .issl_mxu import MxuIsslScorer
+            try:
+                from .issl_mxu import MxuIsslScorer
 
-            self._exact = MxuIsslScorer(
-                self.index, max_dist=self.max_dist, method=self.method,
-                threshold=self.threshold)
+                self._exact = MxuIsslScorer(
+                    self.index, max_dist=self.max_dist, method=self.method,
+                    threshold=self.threshold)
+            except ValueError:
+                # bucket too deep for the MXU rank bound: the order-exact
+                # XLA engine gives the same reference-exact re-scores
+                from .issl_jax import IsslScorer
+
+                self._exact = IsslScorer(
+                    self.index, max_dist=self.max_dist, method=self.method,
+                    threshold=self.threshold)
         return self._exact
 
     def _near_threshold(self, mit, cfd):
         thr, band = self.threshold, self.band
         m_mit = np.abs(mit - thr) <= band
         m_cfd = np.abs(cfd - thr) <= band
-        m_avg = np.abs((mit + cfd) / 2.0 - thr) <= band
         if self.method == "mit":
             return m_mit
         if self.method == "cfd":
             return m_cfd
         if self.method == "avg":
-            return m_avg
+            # every non-clear-accept: the reference's avg early exit can
+            # accept queries whose full-scan average is far below the
+            # threshold (see class docstring)
+            return (mit + cfd) / 2.0 < thr + band
         return m_mit | m_cfd          # and / or
 
     def score(self, query_sigs: np.ndarray):

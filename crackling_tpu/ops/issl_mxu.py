@@ -218,6 +218,15 @@ class MxuIsslScorer:
         self.bucket_offsets = jnp.asarray(arrs["bucket_offsets"][:, :-1])
         self.bucket_lens = jnp.asarray(arrs["bucket_lens"])
         self._maxblen = int(arrs["bucket_lens"].max())
+        # the hit decoder stores in-bucket ranks in f32 position sums;
+        # the kernel's invariant is ranks < 2^22 (comment at the moment
+        # pass). An index deep/skewed enough to break it must use the
+        # exact XLA engine instead of silently mis-decoding site ids.
+        if self._maxblen >= (1 << 22):
+            raise ValueError(
+                f"bucket with {self._maxblen:,} entries exceeds the MXU "
+                "engine's 2^22 rank-exactness bound; use IsslScorer "
+                "(ops/issl_jax.py) for this index")
         # device copies for the on-device hit decoding epilogue: packed
         # signatures (aligned layout), the per-slice id lists and the
         # unaligned CSR offsets

@@ -269,6 +269,28 @@ def rc_sig23(sigs: np.ndarray) -> np.ndarray:
     return out
 
 
+NOPOS = np.iinfo(np.int64).max
+
+
+def window_range(win_sigs: np.ndarray, win_pos: np.ndarray,
+                 keys: np.ndarray):
+    """Sorted-window-index range lookup shared by the positioning stage,
+    the best-alignment search, and the bowtie2 shim (utils/shims.py) —
+    one implementation so the pipeline and the shim cannot diverge.
+
+    Returns ``(count, first_pos)`` per key; ``first_pos`` is NOPOS for
+    keys with no window."""
+    if win_sigs.size == 0:
+        return (np.zeros(keys.shape, np.int64),
+                np.full(keys.shape, NOPOS, np.int64))
+    lo = np.searchsorted(win_sigs, keys, side="left")
+    hi = np.searchsorted(win_sigs, keys, side="right")
+    cnt = hi - lo
+    first = np.where(
+        cnt > 0, win_pos[np.minimum(lo, win_pos.shape[0] - 1)], NOPOS)
+    return cnt, first
+
+
 def best_alignment(reads: np.ndarray, genome: GenomeIndex,
                    max_mm: int = 2) -> np.ndarray:
     """Deterministic Bowtie2-style best alignment of 23-mer reads.
@@ -278,7 +300,6 @@ def best_alignment(reads: np.ndarray, genome: GenomeIndex,
     position among equals, both strands — or (int64.max, -1) when
     unaligned.
     """
-    NOPOS = np.iinfo(np.int64).max
     n = reads.shape[0]
     win_sigs, win_pos = genome.window_index()
     best = np.full(n, NOPOS, dtype=np.int64)
@@ -291,46 +312,56 @@ def best_alignment(reads: np.ndarray, genome: GenomeIndex,
         m, K = keys2d.shape
         flat = keys2d.reshape(-1)
         allk = np.concatenate([flat, rc_sig23(flat)])
-        lo = np.searchsorted(win_sigs, allk, side="left")
-        hi = np.searchsorted(win_sigs, allk, side="right")
-        first = np.where(
-            hi > lo, win_pos[np.minimum(lo, win_pos.shape[0] - 1)], NOPOS)
+        _, first = window_range(win_sigs, win_pos, allk)
         return np.minimum(first[: m * K], first[m * K:]) \
             .reshape(m, K).min(axis=1)
 
     unresolved = np.arange(n)
     shifts = np.uint64(2) * np.arange(23, dtype=np.uint64)
+    # dist-2 expands each read to 253*16 keys (~32 KB with rc): bound the
+    # per-call allocation by processing unresolved reads in chunks
+    READ_CHUNK = 2048
     for dist in range(max_mm + 1):
         if unresolved.size == 0:
             break
-        sub = reads[unresolved]
-        if dist == 0:
-            keys = sub[:, None]
-        elif dist == 1:
-            # all single-position substitutions (originals included: they
-            # cannot hit, or the read would have resolved at dist-1)
-            keys = ((sub[:, None, None]
-                     & ~(np.uint64(3) << shifts[None, :, None]))
-                    | (np.arange(4, dtype=np.uint64)[None, None, :]
-                       << shifts[None, :, None])).reshape(sub.shape[0], -1)
-        else:
-            p1, p2 = np.triu_indices(23, k=1)
-            b = np.arange(4, dtype=np.uint64)
-            bb1 = np.repeat(b, 4)
-            bb2 = np.tile(b, 4)
-            cleared = (sub[:, None, None]
-                       & ~(np.uint64(3) << shifts[p1])[None, :, None]
-                       & ~(np.uint64(3) << shifts[p2])[None, :, None])
-            keys = (cleared
-                    | (bb1[None, None, :] << shifts[p1][None, :, None])
-                    | (bb2[None, None, :] << shifts[p2][None, :, None])
-                    ).reshape(sub.shape[0], -1)
-        pos = min_pos(keys)
+        pos_parts = []
+        for c0 in range(0, unresolved.size, READ_CHUNK):
+            pos_parts.append(_dist_keys_min_pos(
+                reads[unresolved[c0:c0 + READ_CHUNK]], dist, shifts,
+                min_pos))
+        pos = np.concatenate(pos_parts)
         hit = pos != NOPOS
         best[unresolved[hit]] = pos[hit]
         best_d[unresolved[hit]] = dist
         unresolved = unresolved[~hit]
     return best, best_d
+
+
+def _dist_keys_min_pos(sub, dist, shifts, min_pos):
+    """All exact-``dist`` substitution keys of ``sub`` -> per-read min
+    window position (via ``min_pos``)."""
+    if dist == 0:
+        keys = sub[:, None]
+    elif dist == 1:
+        # all single-position substitutions (originals included: they
+        # cannot hit, or the read would have resolved at dist-1)
+        keys = ((sub[:, None, None]
+                 & ~(np.uint64(3) << shifts[None, :, None]))
+                | (np.arange(4, dtype=np.uint64)[None, None, :]
+                   << shifts[None, :, None])).reshape(sub.shape[0], -1)
+    else:
+        p1, p2 = np.triu_indices(23, k=1)
+        b = np.arange(4, dtype=np.uint64)
+        bb1 = np.repeat(b, 4)
+        bb2 = np.tile(b, 4)
+        cleared = (sub[:, None, None]
+                   & ~(np.uint64(3) << shifts[p1])[None, :, None]
+                   & ~(np.uint64(3) << shifts[p2])[None, :, None])
+        keys = (cleared
+                | (bb1[None, None, :] << shifts[p1][None, :, None])
+                | (bb2[None, None, :] << shifts[p2][None, :, None])
+                ).reshape(sub.shape[0], -1)
+    return min_pos(keys)
 
 
 def position_guides(
@@ -352,22 +383,10 @@ def position_guides(
     rc_flat = rc_sig23(flat)
 
     win_sigs, win_pos = genome.window_index(chunk)
-    NOPOS = np.iinfo(np.int64).max
-
-    def lookup(keys):
-        if win_sigs.size == 0:
-            return (np.zeros(keys.shape, np.int64),
-                    np.full(keys.shape, NOPOS, np.int64))
-        lo = np.searchsorted(win_sigs, keys, side="left")
-        hi = np.searchsorted(win_sigs, keys, side="right")
-        cnt = hi - lo
-        first = np.where(
-            cnt > 0, win_pos[np.minimum(lo, win_pos.shape[0] - 1)], NOPOS)
-        return cnt, first
 
     # forward-match key and the key a reverse-strand hit shows
-    c_fwd, _ = lookup(flat)
-    c_rc, _ = lookup(rc_flat)
+    c_fwd, _ = window_range(win_sigs, win_pos, flat)
+    c_rc, _ = window_range(win_sigs, win_pos, rc_flat)
     counts = (c_fwd + c_rc).reshape(n, 8)
     nb = np.minimum(counts, 2).sum(axis=1)
     passed = nb <= 1

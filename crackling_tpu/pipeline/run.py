@@ -293,10 +293,22 @@ class Pipeline:
         if engine == "mxu":
             from ..ops.issl_mxu import MxuIsslScorer
 
-            self._issl_scorer = MxuIsslScorer(
-                index, max_dist=int(cm["offtargetscore"]["max-distance"]),
-                method=method,
-                threshold=float(cm["offtargetscore"]["score-threshold"]))
+            try:
+                self._issl_scorer = MxuIsslScorer(
+                    index,
+                    max_dist=int(cm["offtargetscore"]["max-distance"]),
+                    method=method,
+                    threshold=float(
+                        cm["offtargetscore"]["score-threshold"]))
+            except ValueError as e:
+                # a bucket too deep for the MXU hit decoder's f32 rank
+                # bound (skewed low-complexity slice values at genome
+                # scale): fall back to the order-exact XLA engine
+                printer(f"MXU engine unavailable ({e}); using the exact "
+                        "XLA engine")
+                engine = "xla"
+        if engine == "mxu":
+            pass
         elif engine == "dense":
             # dense full-scan with a bit-exact re-score of near-threshold
             # queries: verdict-exact for every method at dense speed

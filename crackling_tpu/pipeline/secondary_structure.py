@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import re
+import shlex
 import shutil
 import subprocess
 import tempfile
@@ -56,12 +57,14 @@ def fold_constructs_vienna(rna_inputs: list[str], binary: str, threads: int,
         inp = os.path.join(td, "rnafold-input.txt")
         with open(inp, "w") as fp:
             fp.write("".join(s + "\n" for s in rna_inputs))
-        argv = [binary, "--noPS", f"-j{threads}", "-i", inp, "-o"]
+        # the reference runs the command through a shell
+        # (Helpers.py:39-42), so configs may carry arguments or a wrapper
+        # in the binary value ("nice -n 19 RNAfold"); shlex-split keeps
+        # those working without handing the whole line to a shell
+        argv = shlex.split(binary) + ["--noPS", f"-j{threads}", "-i", inp,
+                                      "-o"]
         if param_file:
             argv += ["-P", os.path.abspath(param_file)]
-        # argv list, no shell: the binary path comes from user config
-        # (reference runs through a shell, Helpers.py:39-42; the command
-        # semantics are identical without one)
         subprocess.run(argv, check=True, cwd=td)
         out = os.path.join(td, "RNAfold_output.fold")
         lines = open(out).read().rstrip("\n").split("\n")
@@ -107,7 +110,8 @@ class SecondaryStructureGate:
                  high_energy_threshold: float = -18.0,
                  parameter_file: str | None = None):
         if backend == "auto":
-            if shutil.which(binary):
+            if shutil.which(shlex.split(binary)[0]
+                            if binary.strip() else binary):
                 backend = "vienna"
             elif _native_available():
                 backend = "native"

@@ -70,7 +70,7 @@ def bowtie2_main(argv: list[str]) -> int:
 
     from ..codec import strings_to_sigs
     from ..pipeline.positioning import (GenomeIndex, best_alignment,
-                                        rc_sig23)
+                                        rc_sig23, window_range)
 
     reads = [l.strip() for l in open(args["-U"]) if l.strip()]
     genome = GenomeIndex.from_fasta(args["-x"])
@@ -81,9 +81,7 @@ def bowtie2_main(argv: list[str]) -> int:
     win_sigs, win_pos = genome.window_index()
 
     def exact_count(keys):
-        lo = np.searchsorted(win_sigs, keys, side="left")
-        hi = np.searchsorted(win_sigs, keys, side="right")
-        return hi - lo
+        return window_range(win_sigs, win_pos, keys)[0]
 
     n_exact = exact_count(sigs) + exact_count(rc_sig23(sigs))
 

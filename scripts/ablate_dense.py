@@ -175,7 +175,8 @@ def main():
 
     results = {}
     orig = dense_mod._kernel
-    for variant in ["dma-only", "unpack-only", "mask-only"]:
+    for variant in ["full", "no-epilogue", "mask-only-epilogue",
+                    "mask-only", "unpack-only", "dma-only"]:
         if variant == "full":
             dense_mod._kernel = orig
         else:

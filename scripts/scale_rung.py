@@ -203,7 +203,9 @@ def main():
     # resolves if the query phase dominates the load-time variance:
     # scale the reference query count with index depth (per-query cost
     # is ~linear in distinct sites / 256, isslScoreOfftargets.cpp:344)
-    n_ref = min(len(queries),
+    # capped: at genome scale the reference runs minutes/kilo-query, and
+    # the delta already resolves at a few thousand queries
+    n_ref = min(len(queries), 4096,
                 max(args.ref_queries, int(index.num_sites // 4000)))
     qtext = "".join(s + "\n" for s in sigs_to_strings(queries[:n_ref], 20))
     results["ref_queries"] = int(n_ref)

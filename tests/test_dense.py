@@ -90,3 +90,63 @@ def test_hybrid_verdict_exact(data):
     mit_a, cfd_a = hy.score(queries)
     np.testing.assert_array_equal(mit_a, mit_e)
     np.testing.assert_array_equal(cfd_a, cfd_e)
+
+
+def test_hybrid_avg_early_exit_accept():
+    """The reference's ``avg`` early exit freezes both sums when the
+    average of the SUMS crosses the limit, while the pipeline thresholds
+    the average of the SCORES — by convexity the frozen score average
+    can accept a query whose full-scan average is far below threshold.
+    The hybrid must re-score such queries exactly (regression: the
+    band-only rule missed them).
+
+    Construction: a query with MIT-only neighbours (mismatches at CFD
+    zero-penalty positions), light occurrences first in scan order so
+    the binary exits while its MIT score is still moderate (CFD frozen
+    at 100), then one heavy-occurrence neighbour the exit never reaches.
+    """
+    from crackling_tpu.ops.issl_dense import HybridIsslScorer
+    from crackling_tpu.ops.oracle import score_exact
+
+    rng = np.random.default_rng(23)
+    q = np.uint64(rng.integers(0, 1 << 40))
+    # q[13] = T, q[15] = A (2-bit codes at bit positions 26/30)
+    q = (q & ~(np.uint64(3) << np.uint64(26))) | (np.uint64(3) << np.uint64(26))
+    q = q & ~(np.uint64(3) << np.uint64(30))
+
+    def sub(sig, pos, base):
+        return ((np.uint64(sig) & ~(np.uint64(3) << np.uint64(2 * pos)))
+                | (np.uint64(base) << np.uint64(2 * pos)))
+
+    # CFD zero-penalty single mismatches: (13, T->G), (15, A->C), (15, A->T)
+    light1 = sub(q, 13, 2)     # lex-first (G < T at pos 13)
+    light2 = sub(q, 15, 1)
+    heavy = sub(q, 15, 3)      # lex-last of the three
+    # background sites far from q (Hamming > 8) so they never hit
+    def hamming(a, b):
+        x = np.uint64(a) ^ np.uint64(b)
+        x = ((x & np.uint64(0xAAAAAAAAAA)) >> np.uint64(1)) | (x & np.uint64(0x5555555555))
+        return bin(int(x)).count("1")
+    bg = []
+    while len(bg) < 512:
+        s = np.uint64(rng.integers(0, 1 << 40))
+        if hamming(s, q) > 8:
+            bg.append(s)
+    sites = np.array([light1] * 2 + [light2] * 3 + [heavy] * 50 + bg,
+                     dtype=np.uint64)
+    index = build_index(sites)
+
+    queries = np.concatenate([[q], bg[:7]]).astype(np.uint64)
+    ref_mit, ref_cfd = score_exact(index, queries, 4, 75.0, "avg")
+    ref_ok = (ref_mit + ref_cfd) / 2.0 >= 75.0
+    # the construction must produce the exit-accept case for q
+    assert ref_ok[0], (ref_mit[0], ref_cfd[0])
+
+    hyb = HybridIsslScorer(index, max_dist=4, method="avg", threshold=75.0,
+                           chunk=1024, interpret=True)
+    mit, cfd = hyb.score(queries)
+    hyb_ok = (mit + cfd) / 2.0 >= 75.0
+    np.testing.assert_array_equal(hyb_ok, ref_ok)
+    # and the re-scored query carries the binary's exact frozen scores
+    np.testing.assert_allclose(mit[0], ref_mit[0], rtol=1e-12)
+    np.testing.assert_allclose(cfd[0], ref_cfd[0], rtol=1e-12)
