@@ -58,7 +58,9 @@ enable_persistent_cache()
 
 LANES = 128
 ALIGN = 1024
-LOG_FLOOR = -80.0     # ln stand-in for zero penalties: exp(-80) == 0 in f32
+LOG_FLOOR = -126.0    # log2 stand-in for zero penalties: exp2(-126) is the
+                      # f32 min normal; times any occurrence count it is
+                      # orders below the 0.02 score tier
 
 
 def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
@@ -161,17 +163,25 @@ def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
                 # when m == 1 so that t2 == 1),
                 #   t2*t3 = 19*md / ((95*md - 4u) * m^2)
                 mi = jnp.maximum(mi_raw, 1)
-                first = jax.lax.population_count((mi & -mi) - 1)
+                first = jax.lax.population_count(~mi & (mi - 1))
                 last = 31 - jax.lax.clz(mi)
                 m = dist.astype(jnp.float32)
                 md = jnp.maximum(m - 1.0, 1.0)
                 u = jnp.where(dist == 1, jnp.float32(19.0),
                               (last - first).astype(jnp.float32))
-                t1 = jnp.exp(mit_log)
+                # weights are pre-scaled by 1/ln2, so exp2 completes the
+                # log-matmul without exp's internal rescale multiply
+                t1 = jnp.exp2(mit_log)
                 den = (95.0 * md - 4.0 * u) * jnp.maximum(m * m, 1.0)
                 mit_local = jnp.where(dist > 0, t1 * (1900.0 * md) / den, 0.0)
-                cfd_local = jnp.where(dist == 0, jnp.float32(1.0),
-                                      pam_ngg * jnp.exp(cfd_log))
+                if pam_ngg == 1.0:
+                    # dist == 0 needs no special case: matched positions
+                    # carry zero weight, so cfd_log == 0 and exp2 == 1.0
+                    # exactly (the reference's dist-0 CFD contribution)
+                    cfd_local = jnp.exp2(cfd_log)
+                else:
+                    cfd_local = jnp.where(dist == 0, jnp.float32(1.0),
+                                          pam_ngg * jnp.exp2(cfd_log))
 
                 vf = jnp.where(valid, occt[:, g:g + 1], 0.0)
                 acc_mit = acc_mit + mit_local * vf
@@ -241,9 +251,11 @@ class DenseIsslScorer:
                 for ob in range(4):
                     if ob != qb_:
                         maskw[p, qb_, ob] = float(1 << p)
-                        mitl[p, qb_, ob] = np.log(1.0 - mitw[p])
+                        # base-2 logs: the kernel completes the log-matmul
+                        # with exp2, skipping exp's internal 1/ln2 rescale
+                        mitl[p, qb_, ob] = np.log2(1.0 - mitw[p])
                         pen = pos_pen[p, (qb_ << 2) | (ob ^ 3)]
-                        cfdl[p, qb_, ob] = (np.log(pen) if pen > 0
+                        cfdl[p, qb_, ob] = (np.log2(pen) if pen > 0
                                             else LOG_FLOOR)
         return dict(maskw=maskw, mitl=mitl, cfdl=cfdl)
 

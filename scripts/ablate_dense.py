@@ -133,13 +133,13 @@ def make_kernel(variant: str):
                         md = jnp.maximum(m - 1.0, 1.0)
                         u = jnp.where(dist == 1, jnp.float32(19.0),
                                       (last - first).astype(jnp.float32))
-                        t1 = jnp.exp(mit_log)
+                        t1 = jnp.exp2(mit_log)
                         den = (95.0 * md - 4.0 * u) * jnp.maximum(m * m, 1.0)
                         mit_local = jnp.where(
                             dist > 0, t1 * (1900.0 * md) / den, 0.0)
                         cfd_local = jnp.where(
                             dist == 0, jnp.float32(1.0),
-                            pam_ngg * jnp.exp(cfd_log))
+                            pam_ngg * jnp.exp2(cfd_log))
                         vf = jnp.where(valid, occt[:, g:g + 1], 0.0)
                         acc_mit = acc_mit + mit_local * vf
                         acc_cfd = acc_cfd + cfd_local * vf
