@@ -182,9 +182,36 @@ def time_ours(index_npz, queries):
     return rate, mit, cfd
 
 
+def wait_for_tpu(max_wait_s: int = 1500):
+    """Block until the axon-tunnel TPU initializes, up to ``max_wait_s``.
+
+    The tunnel has hours-long outages; backend-init failure is cached
+    in-process, so probe from fresh subprocesses and only let THIS
+    process touch jax once a probe succeeds. Proceeds (and lets the run
+    fail loudly) if the wait expires."""
+    probe = ("import jax; assert jax.default_backend() != 'cpu', "
+             "jax.default_backend(); print(jax.devices())")
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=240)
+            if r.returncode == 0:
+                log(f"tpu reachable: {r.stdout.strip()}")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log("tpu tunnel unreachable; retrying in 60 s "
+            f"({int(time.time() - t0)}s elapsed)")
+        time.sleep(60)
+    log("tpu wait expired; proceeding anyway")
+    return False
+
+
 def main():
     refbin = ensure_ref_binaries()
     index_npz, issl, qfile = ensure_dataset()
+    wait_for_tpu()
     queries_txt = qfile.read_text().split()
     from crackling_tpu.codec import strings_to_sigs
 
