@@ -150,3 +150,21 @@ def test_hybrid_avg_early_exit_accept():
     # and the re-scored query carries the binary's exact frozen scores
     np.testing.assert_allclose(mit[0], ref_mit[0], rtol=1e-12)
     np.testing.assert_allclose(cfd[0], ref_cfd[0], rtol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["mit", "cfd", "and", "or", "avg"])
+def test_hybrid_verdicts_match_oracle_all_methods(data, method):
+    """Hybrid verdicts == bit-exact oracle verdicts for every method on a
+    mixed query set (self-hits, near neighbours, absent, duplicates)."""
+    from crackling_tpu.ops.issl_dense import HybridIsslScorer
+    from crackling_tpu.ops.issl_jax import verdicts
+    from crackling_tpu.ops.oracle import score_exact
+
+    index, queries = data
+    ref_mit, ref_cfd = score_exact(index, queries, 4, 75.0, method)
+    hyb = HybridIsslScorer(index, max_dist=4, method=method,
+                           threshold=75.0, chunk=1024, interpret=True)
+    mit, cfd = hyb.score(queries)
+    np.testing.assert_array_equal(
+        verdicts(mit, cfd, 75.0, method),
+        verdicts(ref_mit, ref_cfd, 75.0, method))
