@@ -109,6 +109,10 @@ def main():
     ap.add_argument("--ref-queries", type=int, default=512)
     ap.add_argument("--engine", choices=("pallas", "dense"),
                     default="pallas")
+    ap.add_argument("--ref-repeats", type=int, default=3,
+                    help="best-of-N repeats for each reference timing run "
+                         "(drop to 1-2 at mouse/human depth, where one "
+                         "5N-query run takes the better part of an hour)")
     args = ap.parse_args()
 
     DATA.mkdir(parents=True, exist_ok=True)
@@ -212,7 +216,7 @@ def main():
     q1.write_text(qtext)
     q5.write_text(qtext * 5)
 
-    def run_ref(qf, repeats=3):
+    def run_ref(qf, repeats=args.ref_repeats):
         best, out = float("inf"), None
         for _ in range(repeats):
             t0 = time.time()
