@@ -265,9 +265,10 @@ class ShardedIsslScorer:
         return 10000.0 / (100.0 + mit_sum), 10000.0 / (100.0 + cfd_sum)
 
 
-def make_mesh(n_shards: int | None = None, n_q: int = 1) -> Mesh:
-    """Build a ('q', 'shard') mesh over the available devices."""
-    devices = np.array(jax.devices())
+def make_mesh(n_shards: int | None = None, n_q: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('q', 'shard') mesh over ``devices`` (default: all)."""
+    devices = np.array(jax.devices() if devices is None else devices)
     if n_shards is None:
         n_shards = devices.size // n_q
     use = devices[: n_q * n_shards].reshape(n_q, n_shards)
