@@ -6,7 +6,7 @@ vectorized predicates over 2-bit-packed 23-mer target signatures
 
 All functions take/return numpy arrays and are written with the jnp-compatible
 subset of numpy so they can be jitted on device via ``jax.numpy`` when fused
-into the TPU pipeline step (see parallel/pipeline_step.py).
+into the TPU pipeline step (consumed by pipeline/run.py's batch stages).
 """
 
 from __future__ import annotations

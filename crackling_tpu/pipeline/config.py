@@ -12,7 +12,8 @@ framework. Differences:
 * ``input.offtarget-sites`` may point at a sorted site list (text), a
   reference ``.issl`` index, or a native ``.npz`` index;
 * new optional keys live in the ``[tpu]`` section (device, query-block,
-  engine) and ``[output] resume`` for batch-granular resume.
+  engine = auto|dense|exact|mxu|pallas|xla|sharded) and
+  ``[output] resume`` for batch-granular resume.
 """
 
 from __future__ import annotations

@@ -285,11 +285,19 @@ class Pipeline:
         if engine == "auto":
             import jax
 
-            # the MXU engine is bit-exact for every method (matmul
-            # neighbour finder + reference-order f64 replay), so it is the
-            # default on real TPUs; the order-exact XLA engine remains for
-            # CPU runs and as an explicit cross-check
-            engine = "mxu" if jax.default_backend() == "tpu" else "xla"
+            # TPU default: the hybrid dense engine — full-scan matmul
+            # speed (the bench headline) with a lazy bit-exact re-score of
+            # near-threshold queries, verdict-exact for every method. The
+            # order-exact XLA engine remains the CPU default and an
+            # explicit cross-check; ``engine = exact`` (the MXU engine)
+            # gives bit-exact %f score parity at ~3x baseline.
+            if jax.default_backend() == "tpu" and (
+                    index.seq_length == 20 and index.slice_width == 8):
+                engine = "dense"
+            else:
+                engine = "xla"
+        if engine == "exact":
+            engine = "mxu"
         if engine == "mxu":
             from ..ops.issl_mxu import MxuIsslScorer
 
