@@ -78,6 +78,11 @@ def get_lib():
         lib.ct_merge_u64.argtypes = [u64p, i64, u64p, i64, u64p]
         lib.ct_pam_windows.restype = i64
         lib.ct_pam_windows.argtypes = [u8p, i64, u64p, i64p, i64]
+        lib.ct_lex_to_text.restype = None
+        lib.ct_lex_to_text.argtypes = [u64p, i64, ctypes.c_int, u8p]
+        lib.ct_pack_lines.restype = i64
+        lib.ct_pack_lines.argtypes = [u8p, i64, ctypes.c_int, ctypes.c_int,
+                                      u64p]
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.ct_fold_batch.restype = ctypes.c_int
         lib.ct_fold_batch.argtypes = [
@@ -185,6 +190,34 @@ def merge_u64_native(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
     b = np.ascontiguousarray(b, dtype=np.uint64)
     out = np.empty(a.shape[0] + b.shape[0], dtype=np.uint64)
     lib.ct_merge_u64(a, a.shape[0], b, b.shape[0], out)
+    return out
+
+
+def lex_to_text_native(lex: np.ndarray, length: int) -> np.ndarray | None:
+    """(n,) lexicographic signatures -> (n, length+1) ASCII rows with
+    trailing newlines, or None when the native lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lex = np.ascontiguousarray(lex, dtype=np.uint64)
+    out = np.empty((lex.shape[0], length + 1), dtype=np.uint8)
+    lib.ct_lex_to_text(lex, lex.shape[0], int(length), out.reshape(-1))
+    return out
+
+
+def pack_lines_native(rows: np.ndarray, seq_length: int) -> np.ndarray | None:
+    """(n, width) ASCII site rows -> (n,) low-first signatures, or None
+    when the native lib is missing. Raises on a non-ACGT base."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    out = np.empty(rows.shape[0], dtype=np.uint64)
+    bad = lib.ct_pack_lines(rows.reshape(-1), rows.shape[0], rows.shape[1],
+                            int(seq_length), out)
+    if bad >= 0:
+        raise ValueError(
+            f"non-ACGT site line: {bytes(rows[bad, :seq_length])!r}")
     return out
 
 

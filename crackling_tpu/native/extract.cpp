@@ -202,6 +202,58 @@ int64_t ct_pam_windows(const uint8_t* codes, int64_t n, uint64_t* out_sig,
     return count;
 }
 
+// Lexicographic site signatures -> ASCII text rows "SEQ\n" ((length+1)
+// bytes per row). The extraction CLI's output formatter: OpenMP over
+// sites (the numpy fallback costs ~1 us/site, which dominated extraction
+// at genome scale).
+void ct_lex_to_text(const uint64_t* in, int64_t n, int length, uint8_t* out) {
+    static const char L[4] = {'A', 'C', 'G', 'T'};
+    const int w = length + 1;
+    #ifdef _OPENMP
+    #pragma omp parallel for
+    #endif
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t v = in[i];
+        uint8_t* row = out + i * w;
+        for (int j = length - 1; j >= 0; j--) {
+            row[j] = L[v & 3];
+            v >>= 2;
+        }
+        row[length] = '\n';
+    }
+}
+
+// Fixed-width ASCII site lines -> low-first packed signatures (the
+// createIsslIndex text-ingest hot loop). Returns -1 on success or the
+// index of the first row with a non-ACGT base.
+int64_t ct_pack_lines(const uint8_t* rows, int64_t n, int width,
+                      int seq_length, uint64_t* out) {
+    uint8_t table[256];
+    build_code_table(table, /*to_upper=*/true);
+    int64_t bad = -1;
+    #ifdef _OPENMP
+    #pragma omp parallel for
+    #endif
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* row = rows + i * width;
+        uint64_t sig = 0;
+        bool ok = true;
+        for (int j = 0; j < seq_length; j++) {
+            uint8_t c = table[row[j]];
+            ok &= c != BAD;
+            sig |= (uint64_t)(c & 3) << (2 * j);
+        }
+        out[i] = sig;
+        if (!ok) {
+            #ifdef _OPENMP
+            #pragma omp critical
+            #endif
+            { if (bad < 0 || i < bad) bad = i; }
+        }
+    }
+    return bad;
+}
+
 // In-place parallel LSD radix sort of uint64 keys (8 passes x 8 bits).
 void ct_sort_u64(uint64_t* arr, int64_t n) {
     if (n < 2) return;

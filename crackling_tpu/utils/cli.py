@@ -65,7 +65,8 @@ def main_extract_offtargets(argv=None):
     parser.add_argument("output")
     parser.add_argument("inputs", nargs="+")
     parser.add_argument("--threads", type=int, default=None,
-                        help="accepted for compatibility (scan is vectorized)")
+                        help="scan worker threads (default: all cores; the "
+                             "reference's multiprocessing fan-out role)")
     parser.add_argument("--maxOpenFiles", type=int, default=None,
                         help="accepted for compatibility")
     parser.add_argument("--run-size", type=int,
@@ -86,7 +87,8 @@ def main_extract_offtargets(argv=None):
     # memory-bounded path: chunked scan -> sorted spill runs -> merge
     # cascade -> streamed text writer (reference external-sort semantics,
     # extractOfftargets.py:130-253, without per-site Python strings)
-    total, blocks = stream_sorted_sites(inputs, run_size=args.run_size)
+    total, blocks = stream_sorted_sites(inputs, run_size=args.run_size,
+                                        threads=args.threads)
     write_sites_text(blocks, args.output)
     printer(f"Processing completed. Found {total:,} targets.")
     printer("Goodbye.")
@@ -100,6 +102,8 @@ def main_create_issl_index(argv=None):
     parser.add_argument("seq_length", type=int)
     parser.add_argument("slice_width_bits", type=int)
     parser.add_argument("output")
+    parser.add_argument("--threads", type=int, default=None,
+                        help="ingest worker threads (default: all cores)")
     args = parser.parse_args(argv)
 
     from ..index import save_native, write_reference_issl
@@ -109,7 +113,7 @@ def main_create_issl_index(argv=None):
     # (the reference binary loads every occurrence, isslCreateIndex.cpp:160)
     index = build_index_from_sites_text(
         args.offtarget_sites, seq_length=args.seq_length,
-        slice_width=args.slice_width_bits)
+        slice_width=args.slice_width_bits, threads=args.threads)
     # output format by suffix: .npz -> compressed native; .isslx or a
     # trailing separator -> memmapped native directory (O(1) open at
     # genome scale); anything else -> the reference .issl binary layout

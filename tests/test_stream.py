@@ -42,6 +42,47 @@ def test_fasta_chunks_cover_all_windows(genome_file):
     assert sorted(got.tolist()) == sorted(want.tolist())
 
 
+def test_parallel_scan_matches_serial(genome_file, tmp_path):
+    """Thread-parallel extraction (per-worker spill runs + shared merge
+    cascade) is byte-equivalent to the single-threaded path."""
+    path, _ = genome_file
+    t1, b1 = stream_sorted_sites([path], tmp_dir=tmp_path / "a",
+                                 run_size=4_000, threads=1)
+    t3, b3 = stream_sorted_sites([path], tmp_dir=tmp_path / "b",
+                                 run_size=4_000, threads=3)
+    assert t1 == t3
+    a = np.concatenate(list(b1))
+    b = np.concatenate(list(b3))
+    assert np.array_equal(a, b)
+
+
+def test_merged_blocks_multi_sorter(tmp_path, rng):
+    """Several sorters sharing one directory merge into one sorted
+    stream (the per-worker spill layout)."""
+    from crackling_tpu.index.stream import merged_blocks
+
+    keys = rng.integers(0, 1 << 40, size=120_000, dtype=np.uint64)
+    sorters = [SpillSorter(tmp_dir=tmp_path / "m", run_size=7_000,
+                           prefix=f"w{i}.") for i in range(3)]
+    for i, k in enumerate(np.array_split(keys, 7)):
+        sorters[i % 3].add(k)
+    merged = np.concatenate(list(merged_blocks(sorters, block=9_999,
+                                               threads=3)))
+    assert np.array_equal(merged, np.sort(keys))
+
+
+def test_fasta_reader_edge_cases(tmp_path, monkeypatch):
+    """No trailing newline, blank lines, CRLF, tiny read blocks."""
+    from crackling_tpu.index import stream as stream_mod
+
+    p = tmp_path / "edge.fa"
+    p.write_bytes(b">r1\r\nACGT\r\n\r\nTTGGA\n>r2\nCCAAT")
+    assert list(iter_fasta_chunks(p)) == [b"ACGTTTGGA", b"CCAAT"]
+    # force block boundaries mid-line / mid-header
+    monkeypatch.setattr(stream_mod, "READ_BLOCK", 3)
+    assert list(iter_fasta_chunks(p)) == [b"ACGTTTGGA", b"CCAAT"]
+
+
 def test_spill_sorter_matches_npsort(tmp_path, rng):
     keys = rng.integers(0, 1 << 40, size=300_000, dtype=np.uint64)
     sorter = SpillSorter(tmp_dir=tmp_path / "s", run_size=37_000)
