@@ -196,6 +196,160 @@ def _kernel(boff_ref, blen_ref, wts_ref, entries_hbm,
         cfd_ref[0, 0] = acc_cfd.reshape(LANES // 8, 8, qb).sum(axis=0)
 
 
+def build_weight_consts() -> dict[str, np.ndarray]:
+    """(20, 4, 4) host constants [p, qbase, obase] for the three weight
+    families (mask powers-of-two, MIT base-2 logs, CFD base-2 logs)."""
+    mitw = np.asarray(MIT_WEIGHTS, dtype=np.float64)
+    pos_pen = cfd_pos_penalties().reshape(20, 16).astype(np.float64)
+    maskw = np.zeros((20, 4, 4))
+    mitl = np.zeros((20, 4, 4))
+    cfdl = np.zeros((20, 4, 4))
+    for p in range(20):
+        for qb_ in range(4):
+            for ob in range(4):
+                if ob != qb_:
+                    maskw[p, qb_, ob] = float(1 << p)
+                    # base-2 logs: the kernel completes the log-matmul
+                    # with exp2, skipping exp's internal 1/ln2 rescale
+                    mitl[p, qb_, ob] = np.log2(1.0 - mitw[p])
+                    pen = pos_pen[p, (qb_ << 2) | (ob ^ 3)]
+                    cfdl[p, qb_, ob] = (np.log2(pen) if pen > 0
+                                        else LOG_FLOOR)
+    return dict(maskw=maskw, mitl=mitl, cfdl=cfdl)
+
+
+def plan_query_occupancy(sigs: np.ndarray, S: int, B: int,
+                         slice_width: int, qb_cap: int):
+    """Padded max per-(slice, bucket) query occupancy QB — the only
+    data-dependent *shape* in the dense program, and a property of the
+    query page alone (not of the index contents), so every index shard
+    shares it. Returns (None, needed) on qb_cap overflow."""
+    sigs = np.asarray(sigs, dtype=np.uint64)
+    counts = np.zeros((S, B), dtype=np.int64)
+    mask = np.uint64(B - 1)
+    for s in range(S):
+        vals = ((sigs >> np.uint64(s * slice_width)) & mask).astype(np.int64)
+        counts[s] = np.bincount(vals, minlength=B)
+    qb = int(counts.max())
+    if qb > qb_cap:
+        return None, qb
+    return -(-qb // 64) * 64, qb
+
+
+def build_run(*, S: int, B: int, chunk: int, qb: int, max_dist: int,
+              rows_per_slice: int, interpret: bool,
+              weight_consts: dict[str, np.ndarray]):
+    """The jittable dense scoring program for one device:
+    ``run(q_lo, q_hi, boff, blens, entries) -> (mit_sums, cfd_sums)``.
+
+    Factored out of :class:`DenseIsslScorer` so the multi-device engine
+    (parallel/sharded.ShardedDenseIsslScorer) can wrap the identical
+    per-device compute in a ``shard_map`` + ``psum``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pam_ngg = float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX])
+    kernel = functools.partial(
+        _kernel, chunk=chunk, qb=qb, max_dist=max_dist,
+        pam_ngg=pam_ngg, rows_per_slice=rows_per_slice)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B, 8, qb), jnp.float32),
+            jax.ShapeDtypeStruct((S, B, 8, qb), jnp.float32),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,       # boff, blens
+            grid=(S, B),
+            in_specs=[
+                pl.BlockSpec((1, 1, 5, LANES, qb),
+                             lambda s, v, *_: (s, v, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 8, qb), lambda s, v, *_: (s, v, 0, 0)),
+                pl.BlockSpec((1, 1, 8, qb), lambda s, v, *_: (s, v, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 3, chunk // LANES, LANES), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    # numpy (host) constants: device-array closures would be fetched
+    # back d2h at lowering time to embed as MLIR constants, and those
+    # fetches queue behind the index h2d upload (~45s stall observed)
+    maskw_c = np.asarray(weight_consts["maskw"], np.float32)   # (20, 4, 4)
+    mitl_c = np.asarray(weight_consts["mitl"], np.float32)
+    cfdl_c = np.asarray(weight_consts["cfdl"], np.float32)
+
+    def plan_on_device(q_lo, q_hi):
+        """(S, B, qb) slot table from the queries — on device, so
+        the host uploads only the 8 bytes/query of signatures (the
+        2 MB/page table upload dominated the tunnel h2d time)."""
+        n = q_lo.shape[0]
+        # slice values: w=8, 5 slices over 40 bits (0-3 in lo, 4 in hi)
+        vals = jnp.stack(
+            [((q_lo >> (8 * s)) & jnp.uint32(0xFF)) if s < 4
+             else (q_hi & jnp.uint32(0xFF))
+             for s in range(S)]).astype(jnp.int32)          # (S, n)
+        order = jnp.argsort(vals, axis=1, stable=True).astype(jnp.int32)
+        sorted_vals = jnp.take_along_axis(vals, order, axis=1)
+        s_idx = jnp.arange(S, dtype=jnp.int32)[:, None]
+        counts = jnp.zeros((S, B), jnp.int32).at[s_idx, vals].add(1)
+        starts = jnp.cumsum(counts, axis=1) - counts        # (S, B)
+        rank = (jnp.arange(n, dtype=jnp.int32)[None, :]
+                - jnp.take_along_axis(starts, sorted_vals, axis=1))
+        return jnp.full((S, B, qb), n, jnp.int32).at[
+            jnp.broadcast_to(s_idx, (S, n)),
+            sorted_vals, rank].set(order)
+
+    def prelude(q_lo, q_hi, qsp):
+        n = q_lo.shape[0]
+        p = jnp.arange(20, dtype=jnp.uint32)
+        sh = (2 * p) % 32
+        word = jnp.where(p >= 16, q_hi[:, None], q_lo[:, None])
+        qb_codes = ((word >> sh) & 3).astype(jnp.int32)   # (n, 20)
+
+        def lanes(tbl):
+            wrow = jnp.asarray(tbl)[jnp.arange(20)[None, :],
+                                    qb_codes]      # (n, 20, 4)
+            return wrow.reshape(n, 80)
+
+        def pad_lanes(x):
+            full = jnp.zeros((n + 1, LANES), jnp.float32)
+            return full.at[:n, :80].set(x)
+
+        wM = pad_lanes(lanes(maskw_c))
+        wT = pad_lanes(lanes(mitl_c))
+        wC = pad_lanes(lanes(cfdl_c))
+        wT_hi = wT.astype(jnp.bfloat16).astype(jnp.float32)
+        wT_lo = wT - wT_hi
+        wC_hi = wC.astype(jnp.bfloat16).astype(jnp.float32)
+        wC_lo = wC - wC_hi
+        stack = jnp.stack(
+            [wM, wT_hi, wT_lo, wC_hi, wC_lo]).astype(jnp.bfloat16)
+        g = stack[:, qsp]                 # (5, S, B, qb, 128)
+        return jnp.transpose(g, (1, 2, 0, 4, 3))
+
+    def run(q_lo, q_hi, boff, blens, entries):
+        qsp = plan_on_device(q_lo, q_hi)
+        wts = prelude(q_lo, q_hi, qsp)
+        mit_slots, cfd_slots = call(boff, blens, wts, entries)
+        mit_b = jnp.sum(mit_slots, axis=2).reshape(-1)   # (S*B*qb,)
+        cfd_b = jnp.sum(cfd_slots, axis=2).reshape(-1)
+        flat_ids = qsp.reshape(-1)
+        n = q_lo.shape[0]
+        mit = jnp.zeros(n + 1, jnp.float32).at[flat_ids].add(mit_b)
+        cfd = jnp.zeros(n + 1, jnp.float32).at[flat_ids].add(cfd_b)
+        return mit[:n], cfd[:n]
+
+    return run
+
+
 class DenseIsslScorer:
     """Single-chip dense-matmul ISSL scorer (full-scan)."""
 
@@ -239,148 +393,22 @@ class DenseIsslScorer:
     # -- per-query weight construction ----------------------------------
 
     def _build_weight_consts(self):
-        """(20, 4, 4) host constants [p, qbase, obase] for the three
-        weight families."""
-        mitw = np.asarray(MIT_WEIGHTS, dtype=np.float64)
-        pos_pen = cfd_pos_penalties().reshape(20, 16).astype(np.float64)
-        maskw = np.zeros((20, 4, 4))
-        mitl = np.zeros((20, 4, 4))
-        cfdl = np.zeros((20, 4, 4))
-        for p in range(20):
-            for qb_ in range(4):
-                for ob in range(4):
-                    if ob != qb_:
-                        maskw[p, qb_, ob] = float(1 << p)
-                        # base-2 logs: the kernel completes the log-matmul
-                        # with exp2, skipping exp's internal 1/ln2 rescale
-                        mitl[p, qb_, ob] = np.log2(1.0 - mitw[p])
-                        pen = pos_pen[p, (qb_ << 2) | (ob ^ 3)]
-                        cfdl[p, qb_, ob] = (np.log2(pen) if pen > 0
-                                            else LOG_FLOOR)
-        return dict(maskw=maskw, mitl=mitl, cfdl=cfdl)
+        return build_weight_consts()
 
     def _plan(self, sigs: np.ndarray):
         """Queries -> padded max bucket occupancy QB (the only
         data-dependent *shape*; the slot table itself is built on
         device). Returns (None, needed) on qb_cap overflow."""
-        vals = self.index.slice_values(sigs).astype(np.int64)    # (S, n)
-        counts = np.zeros((self.S, self.B), dtype=np.int64)
-        for s in range(self.S):
-            counts[s] = np.bincount(vals[s], minlength=self.B)
-        qb = int(counts.max())
-        if qb > self.qb_cap:
-            return None, qb
-        return -(-qb // 64) * 64, qb
+        return plan_query_occupancy(sigs, self.S, self.B,
+                                    self.index.slice_width, self.qb_cap)
 
     def _get_run(self, qb: int):
         if qb in self._runs:
             return self._runs[qb]
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        S, B = self.S, self.B
-        chunk = self.chunk
-        kernel = functools.partial(
-            _kernel, chunk=chunk, qb=qb, max_dist=self.max_dist,
-            pam_ngg=float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX]),
-            rows_per_slice=self._rows_per_slice)
-        call = pl.pallas_call(
-            kernel,
-            out_shape=[
-                jax.ShapeDtypeStruct((S, B, 8, qb), jnp.float32),
-                jax.ShapeDtypeStruct((S, B, 8, qb), jnp.float32),
-            ],
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,       # boff, blens
-                grid=(S, B),
-                in_specs=[
-                    pl.BlockSpec((1, 1, 5, LANES, qb),
-                                 lambda s, v, *_: (s, v, 0, 0, 0)),
-                    pl.BlockSpec(memory_space=pl.ANY),
-                ],
-                out_specs=[
-                    pl.BlockSpec((1, 1, 8, qb), lambda s, v, *_: (s, v, 0, 0)),
-                    pl.BlockSpec((1, 1, 8, qb), lambda s, v, *_: (s, v, 0, 0)),
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((2, 3, chunk // LANES, LANES), jnp.uint32),
-                    pltpu.SemaphoreType.DMA((2,)),
-                ],
-            ),
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-            interpret=self.interpret,
-        )
-
-        wc = self._weight_consts
-        # numpy (host) constants: device-array closures would be fetched
-        # back d2h at lowering time to embed as MLIR constants, and those
-        # fetches queue behind the index h2d upload (~45s stall observed)
-        maskw_c = np.asarray(wc["maskw"], np.float32)      # (20, 4, 4)
-        mitl_c = np.asarray(wc["mitl"], np.float32)
-        cfdl_c = np.asarray(wc["cfdl"], np.float32)
-
-        def plan_on_device(q_lo, q_hi):
-            """(S, B, qb) slot table from the queries — on device, so
-            the host uploads only the 8 bytes/query of signatures (the
-            2 MB/page table upload dominated the tunnel h2d time)."""
-            n = q_lo.shape[0]
-            # slice values: w=8, 5 slices over 40 bits (0-3 in lo, 4 in hi)
-            vals = jnp.stack(
-                [((q_lo >> (8 * s)) & jnp.uint32(0xFF)) if s < 4
-                 else (q_hi & jnp.uint32(0xFF))
-                 for s in range(S)]).astype(jnp.int32)          # (S, n)
-            order = jnp.argsort(vals, axis=1, stable=True).astype(jnp.int32)
-            sorted_vals = jnp.take_along_axis(vals, order, axis=1)
-            s_idx = jnp.arange(S, dtype=jnp.int32)[:, None]
-            counts = jnp.zeros((S, B), jnp.int32).at[s_idx, vals].add(1)
-            starts = jnp.cumsum(counts, axis=1) - counts        # (S, B)
-            rank = (jnp.arange(n, dtype=jnp.int32)[None, :]
-                    - jnp.take_along_axis(starts, sorted_vals, axis=1))
-            return jnp.full((S, B, qb), n, jnp.int32).at[
-                jnp.broadcast_to(s_idx, (S, n)),
-                sorted_vals, rank].set(order)
-
-        def prelude(q_lo, q_hi, qsp):
-            n = q_lo.shape[0]
-            p = jnp.arange(20, dtype=jnp.uint32)
-            sh = (2 * p) % 32
-            word = jnp.where(p >= 16, q_hi[:, None], q_lo[:, None])
-            qb_codes = ((word >> sh) & 3).astype(jnp.int32)   # (n, 20)
-
-            def lanes(tbl):
-                wrow = jnp.asarray(tbl)[jnp.arange(20)[None, :],
-                                        qb_codes]      # (n, 20, 4)
-                return wrow.reshape(n, 80)
-
-            def pad_lanes(x):
-                full = jnp.zeros((n + 1, LANES), jnp.float32)
-                return full.at[:n, :80].set(x)
-
-            wM = pad_lanes(lanes(maskw_c))
-            wT = pad_lanes(lanes(mitl_c))
-            wC = pad_lanes(lanes(cfdl_c))
-            wT_hi = wT.astype(jnp.bfloat16).astype(jnp.float32)
-            wT_lo = wT - wT_hi
-            wC_hi = wC.astype(jnp.bfloat16).astype(jnp.float32)
-            wC_lo = wC - wC_hi
-            stack = jnp.stack(
-                [wM, wT_hi, wT_lo, wC_hi, wC_lo]).astype(jnp.bfloat16)
-            g = stack[:, qsp]                 # (5, S, B, qb, 128)
-            return jnp.transpose(g, (1, 2, 0, 4, 3))
-
-        def run(q_lo, q_hi, boff, blens, entries):
-            qsp = plan_on_device(q_lo, q_hi)
-            wts = prelude(q_lo, q_hi, qsp)
-            mit_slots, cfd_slots = call(boff, blens, wts, entries)
-            mit_b = jnp.sum(mit_slots, axis=2).reshape(-1)   # (S*B*qb,)
-            cfd_b = jnp.sum(cfd_slots, axis=2).reshape(-1)
-            flat_ids = qsp.reshape(-1)
-            n = q_lo.shape[0]
-            mit = jnp.zeros(n + 1, jnp.float32).at[flat_ids].add(mit_b)
-            cfd = jnp.zeros(n + 1, jnp.float32).at[flat_ids].add(cfd_b)
-            return mit[:n], cfd[:n]
-
-        fn = jax.jit(run)
+        fn = jax.jit(build_run(
+            S=self.S, B=self.B, chunk=self.chunk, qb=qb,
+            max_dist=self.max_dist, rows_per_slice=self._rows_per_slice,
+            interpret=self.interpret, weight_consts=self._weight_consts))
         self._runs[qb] = fn
         return fn
 
@@ -461,13 +489,18 @@ class HybridIsslScorer:
 
     def __init__(self, index: IsslIndex, max_dist: int | None = None,
                  method: str = "and", threshold: float = 75.0,
-                 band: float = 1.0, **dense_kw):
+                 band: float = 1.0, dense=None, **dense_kw):
         self.index = index
         self.max_dist = max_dist
         self.method = method
         self.threshold = float(threshold)
         self.band = float(band)
-        self.dense = DenseIsslScorer(index, max_dist=max_dist, **dense_kw)
+        # ``dense`` may be any prebuilt full-scan fast engine with the
+        # same score() contract — e.g. parallel/sharded.py's
+        # ShardedDenseIsslScorer for the multi-device pipeline path
+        self.dense = (dense if dense is not None
+                      else DenseIsslScorer(index, max_dist=max_dist,
+                                           **dense_kw))
         self._exact = None
 
     def _get_exact(self):

@@ -265,6 +265,248 @@ class ShardedIsslScorer:
         return 10000.0 / (100.0 + mit_sum), 10000.0 / (100.0 + cfd_sum)
 
 
+class ShardedDenseIsslScorer:
+    """The dense-matmul engine over a device mesh.
+
+    Same sharding contract as :class:`ShardedIsslScorer` — the index is
+    split by **site-id range** (every site keeps all of its slice-bucket
+    entries on one shard, so the first-clean-slice dedup stays
+    shard-local and exact, matching the reference's per-query seen
+    bitvector, isslScoreOfftargets.cpp:385-387) and per-query partial
+    MIT/CFD sums merge with one ``psum`` over the index axes — but the
+    per-device compute is the dense engine's pallas program
+    (ops/issl_dense.build_run), i.e. the fast path, not the XLA scan.
+
+    The only data-dependent shape, the max per-bucket query occupancy
+    QB, is a property of the query page alone, so all shards share one
+    compiled program. Queries are replicated over the index axes and
+    optionally split over a 'q' data-parallel axis.
+
+    Full-scan semantics (like the single-chip dense engine): verdicts
+    exact for mit/cfd/and/or; wrap with a near-threshold exact re-score
+    (pipeline ``engine = sharded``) for reference-exact verdicts.
+    """
+
+    def __init__(self, index: IsslIndex | None, mesh: Mesh,
+                 max_dist: int | None = None, query_page: int = 65536,
+                 chunk: int = 4096, qb_cap: int = 512,
+                 interpret: bool | None = None,
+                 index_axes: tuple[str, ...] = ("shard",),
+                 _local: dict | None = None):
+        from ..ops.issl_dense import ALIGN, LANES
+
+        for a in index_axes:
+            if a not in mesh.axis_names:
+                raise ValueError(f"mesh must have a {a!r} axis")
+        self.mesh = mesh
+        self.index_axes = tuple(index_axes)
+        self.n_shards = int(np.prod([mesh.shape[a] for a in self.index_axes]))
+        self.n_q = mesh.shape.get("q", 1)
+        self.has_q_axis = "q" in mesh.axis_names
+        self.query_page = int(query_page)
+        self.chunk = int(chunk)
+        self.qb_cap = int(qb_cap)
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self.interpret = interpret
+
+        if _local is None:
+            if index.slice_width != 8 or index.seq_length != 20:
+                raise ValueError("dense engine supports l=20, w=8")
+            shards = shard_index(index, self.n_shards)
+            per = [s.device_arrays_aligned(align=ALIGN, tail=self.chunk)
+                   for s in shards]
+            meta = dict(slice_count=index.slice_count,
+                        slice_width=index.slice_width,
+                        max_dist=index.max_dist)
+            stacked = _stack_dense_shards(per, LANES)
+
+            def put(a, p):
+                return jax.device_put(a, NamedSharding(mesh, p))
+        else:
+            stacked, meta = _local["stacked"], _local["meta"]
+
+            def put(a, p):
+                sh = NamedSharding(mesh, p)
+                return jax.make_array_from_process_local_data(
+                    sh, a, (self.n_shards,) + a.shape[1:])
+
+        self.S = meta["slice_count"]
+        self.B = 1 << meta["slice_width"]
+        self.slice_width = meta["slice_width"]
+        self.max_dist = (meta["max_dist"] if max_dist is None
+                         else int(max_dist))
+        self._rows_per_slice = stacked["entries"].shape[2] // self.S
+        spec = P(self.index_axes)
+        self.entries = put(stacked["entries"], spec)       # (K, 3, rows, 128)
+        self.bucket_offsets = put(stacked["bucket_offsets"], spec)
+        self.bucket_lens = put(stacked["bucket_lens"], spec)
+        from ..ops.issl_dense import build_weight_consts
+
+        self._weight_consts = build_weight_consts()
+        self._steps: dict[int, callable] = {}
+
+    @classmethod
+    def from_local_shards(cls, local_shards: list[IsslIndex], mesh: Mesh,
+                          global_num_sites: int, *,
+                          max_dist: int | None = None,
+                          query_page: int = 65536, chunk: int = 4096,
+                          qb_cap: int = 512, interpret: bool | None = None,
+                          index_axes: tuple[str, ...] = ("host", "shard")):
+        """Multi-host construction from this process's own site-range
+        shards (cf. ShardedIsslScorer.from_local_shards). All processes
+        must pad to the same epad, derived from the global shard bounds:
+        the widest range, aligned+tailed the way device_arrays_aligned
+        pads, is a deterministic upper bound every process computes."""
+        from ..ops.issl_dense import ALIGN, LANES
+
+        s0 = local_shards[0]
+        per = [s.device_arrays_aligned(align=ALIGN, tail=chunk)
+               for s in local_shards]
+        # deterministic common width: the per-slice aligned size is at
+        # most (widest shard's sites rounded up per bucket) — use the
+        # global max over processes via the analytic bound
+        n_shards = int(np.prod([mesh.shape[a] for a in index_axes]))
+        bounds = shard_bounds(global_num_sites, n_shards)
+        worst = max(hi - lo for lo, hi in bounds)
+        b_count = 1 << s0.slice_width
+        # device_arrays_aligned pads each bucket to an ALIGN multiple
+        # (< ALIGN waste per bucket), adds `chunk` tail, and rounds the
+        # total up to ALIGN — (B+1)*ALIGN over-covers all of that
+        epad_bound = worst + (b_count + 1) * ALIGN + chunk
+        epad_bound = -(-epad_bound // ALIGN) * ALIGN
+        stacked = _stack_dense_shards(per, LANES, epad=epad_bound)
+        meta = dict(slice_count=s0.slice_count, slice_width=s0.slice_width,
+                    max_dist=s0.max_dist)
+        return cls(None, mesh, max_dist=max_dist, query_page=query_page,
+                   chunk=chunk, qb_cap=qb_cap, interpret=interpret,
+                   index_axes=index_axes,
+                   _local=dict(stacked=stacked, meta=meta))
+
+    def _get_step(self, qb: int, n: int):
+        key = (qb, n)
+        if key in self._steps:
+            return self._steps[key]
+        from ..ops.issl_dense import build_run
+
+        run = build_run(S=self.S, B=self.B, chunk=self.chunk, qb=qb,
+                        max_dist=self.max_dist,
+                        rows_per_slice=self._rows_per_slice,
+                        interpret=self.interpret,
+                        weight_consts=self._weight_consts)
+        index_axes = self.index_axes
+
+        def per_device(q_lo, q_hi, boff, blens, entries):
+            mit, cfd = run(q_lo, q_hi, boff[0], blens[0], entries[0])
+            # merge partial sums across index shards: ICI on 'shard',
+            # DCN on 'host' when the mesh has one (the reference's
+            # per-thread accumulators re-expressed as a collective)
+            mit = jax.lax.psum(mit, axis_name=index_axes)
+            cfd = jax.lax.psum(cfd, axis_name=index_axes)
+            return mit, cfd
+
+        qspec = P("q") if self.has_q_axis else P()
+        sspec = P(self.index_axes)
+        # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
+        # varying-mesh-axes annotation, which the checker requires
+        mapped = jax.shard_map(
+            per_device, mesh=self.mesh,
+            in_specs=(qspec, qspec, sspec, sspec, sspec),
+            out_specs=(qspec, qspec), check_vma=False)
+        fn = jax.jit(mapped)
+        self._steps[key] = fn
+        return fn
+
+    def _to_global(self, arr: np.ndarray):
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        spec = P("q") if self.has_q_axis else P()
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, spec), arr, arr.shape)
+
+    def score_sums(self, query_sigs: np.ndarray):
+        sigs = np.asarray(query_sigs, dtype=np.uint64)
+        n = sigs.shape[0]
+        out_mit = np.zeros(n, dtype=np.float64)
+        out_cfd = np.zeros(n, dtype=np.float64)
+        pending = []
+        from ..ops.issl_dense import plan_query_occupancy
+
+        def run_page(lo_idx, page):
+            qb, _needed = plan_query_occupancy(
+                page, self.S, self.B, self.slice_width, self.qb_cap)
+            if qb is None:
+                half = page.shape[0] // 2
+                if half == 0:
+                    raise RuntimeError("query bucket overflow; raise qb_cap")
+                run_page(lo_idx, page[:half])
+                run_page(lo_idx + half, page[half:])
+                return
+            # pad so the page splits evenly over the 'q' axis
+            pad = (-page.shape[0]) % self.n_q
+            padded = (np.concatenate([page, np.zeros(pad, np.uint64)])
+                      if pad else page)
+            lo, hi = sig_split(padded)
+            fn = self._get_step(qb, padded.shape[0])
+            mc = fn(self._to_global(lo.view(np.uint32)),
+                    self._to_global(hi.view(np.uint32)),
+                    self.bucket_offsets, self.bucket_lens, self.entries)
+            pending.append((lo_idx, page.shape[0], mc))
+
+        for i in range(0, n, self.query_page):
+            run_page(i, sigs[i:i + self.query_page])
+        if jax.process_count() == 1:
+            # one batched d2h drain (~30 ms fixed tunnel latency per trip)
+            fetched = jax.device_get([mc for _, _, mc in pending])
+        else:
+            fetched = [(ShardedIsslScorer._to_local(m),
+                        ShardedIsslScorer._to_local(c))
+                       for _, _, (m, c) in pending]
+        for (lo_idx, ln, _), (m, c) in zip(pending, fetched):
+            out_mit[lo_idx:lo_idx + ln] = m[:ln]
+            out_cfd[lo_idx:lo_idx + ln] = c[:ln]
+        return out_mit, out_cfd
+
+    def score(self, query_sigs: np.ndarray):
+        mit_sum, cfd_sum = self.score_sums(query_sigs)
+        return 10000.0 / (100.0 + mit_sum), 10000.0 / (100.0 + cfd_sum)
+
+
+def _stack_dense_shards(per: list[dict], lanes: int,
+                        epad: int | None = None) -> dict[str, np.ndarray]:
+    """Per-shard device_arrays_aligned dicts -> stacked dense planes.
+
+    Pads every shard's entry dimension to a common ``epad`` (dead
+    entries: impossible signature, occ 0 — they never contribute) and
+    deinterleaves to the dense engine's (K, 3, S*epad/lanes, lanes) u32
+    plane layout."""
+    if epad is None:
+        epad = max(p["list_lo"].shape[1] for p in per)
+    else:
+        have = max(p["list_lo"].shape[1] for p in per)
+        if have > epad:
+            raise ValueError(f"shard epad {have} exceeds bound {epad}")
+    planes, boffs, blens = [], [], []
+    for p in per:
+        s_count, e = p["list_lo"].shape
+        width = epad - e
+
+        def padded(a, fill):
+            return (np.pad(a, ((0, 0), (0, width)), constant_values=fill)
+                    if width else a)
+
+        planes.append(np.stack([
+            padded(p["list_lo"], -1).reshape(-1, lanes).view(np.uint32),
+            padded(p["list_hi"], -1).reshape(-1, lanes).view(np.uint32),
+            padded(p["list_occ"], 0).reshape(-1, lanes).astype(np.uint32),
+        ]))
+        boffs.append(p["bucket_offsets"])
+        blens.append(p["bucket_lens"])
+    return dict(entries=np.stack(planes),
+                bucket_offsets=np.stack(boffs),
+                bucket_lens=np.stack(blens))
+
+
 def make_mesh(n_shards: int | None = None, n_q: int = 1,
               devices=None) -> Mesh:
     """Build a ('q', 'shard') mesh over ``devices`` (default: all)."""

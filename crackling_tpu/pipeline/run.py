@@ -326,6 +326,26 @@ class Pipeline:
                 index, max_dist=int(cm["offtargetscore"]["max-distance"]),
                 method=method,
                 threshold=float(cm["offtargetscore"]["score-threshold"]))
+        elif engine == "sharded":
+            # dense fast path spread over every local device: site-range
+            # index shards + one psum of the per-query partial sums, with
+            # the hybrid's bit-exact near-threshold re-score on top
+            import jax
+
+            from ..ops.issl_dense import HybridIsslScorer
+            from ..parallel.sharded import (ShardedDenseIsslScorer,
+                                            make_mesh)
+
+            n_dev = len(jax.devices())
+            mesh = make_mesh(n_shards=n_dev, n_q=1)
+            dense = ShardedDenseIsslScorer(
+                index, mesh,
+                max_dist=int(cm["offtargetscore"]["max-distance"]))
+            self._issl_scorer = HybridIsslScorer(
+                index, max_dist=int(cm["offtargetscore"]["max-distance"]),
+                method=method,
+                threshold=float(cm["offtargetscore"]["score-threshold"]),
+                dense=dense)
         elif engine == "pallas":
             from ..ops.issl_pallas import PallasIsslScorer
 

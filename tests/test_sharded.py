@@ -52,6 +52,44 @@ def test_sharded_matches_bruteforce(data, shape):
     np.testing.assert_allclose(cfd, cfd_b, rtol=2e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(1, 4), (2, 2)])
+def test_sharded_dense_matches_bruteforce(data, shape):
+    """The dense (fast-path) engine under shard_map + psum agrees with
+    the brute-force oracle — VERDICT r2 item 1: the multi-device path
+    must run a fast engine, not only the XLA scan."""
+    from crackling_tpu.parallel.sharded import ShardedDenseIsslScorer
+
+    index, queries = data
+    n_q, n_shards = shape
+    mesh = make_mesh(n_shards=n_shards, n_q=n_q)
+    scorer = ShardedDenseIsslScorer(index, mesh, max_dist=4,
+                                    query_page=32, chunk=1024)
+    mit, cfd = scorer.score_sums(queries)
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+    # f32/bf16-split arithmetic: same tier as the single-chip dense engine
+    np.testing.assert_allclose(mit, mit_b, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_dense_matches_single_device_dense(data):
+    """Site-range sharding + psum reproduces the single-device dense
+    engine bit-for-bit in f32?  Not guaranteed (different accumulation
+    grouping), so assert score agreement at the engine's parity tier."""
+    from crackling_tpu.ops.issl_dense import DenseIsslScorer
+    from crackling_tpu.parallel.sharded import ShardedDenseIsslScorer
+
+    index, queries = data
+    mesh = make_mesh(n_shards=8, n_q=1)
+    sharded = ShardedDenseIsslScorer(index, mesh, max_dist=4,
+                                     query_page=64, chunk=1024)
+    single = DenseIsslScorer(index, max_dist=4, query_page=64, chunk=1024)
+    m1, c1 = sharded.score(queries)
+    m2, c2 = single.score(queries)
+    np.testing.assert_allclose(m1, m2, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(c1, c2, rtol=2e-5, atol=2e-5)
+
+
 def test_sharded_matches_single_device(data):
     from crackling_tpu.ops.issl_jax import IsslScorer
 
