@@ -34,7 +34,9 @@ DATA = ROOT / "bench_data"
 REFERENCE = Path("/root/reference")
 
 GENOME_MBP = int(os.environ.get("BENCH_GENOME_MBP", "27"))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", "32768"))
+# 64K queries: one full 64K-query page — the fast engines' best operating
+# point (per-entry tile work amortizes over more matmul columns)
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "65536"))
 
 
 def log(msg):
@@ -58,11 +60,15 @@ def ensure_ref_binaries():
 
 
 def ensure_dataset():
-    """Synthetic genome -> site list/index/queries, cached on disk."""
+    """Synthetic genome -> site list/index/queries, cached on disk. The
+    query file is keyed by count (the legacy 32768 name is kept), so a
+    BENCH_QUERIES change regenerates only the queries — the genome is
+    deterministic, the cached index stays valid."""
     tag = f"g{GENOME_MBP}m"
     index_npz = DATA / f"{tag}.index.npz"
     issl = DATA / f"{tag}.issl"
-    qfile = DATA / f"{tag}.queries.txt"
+    qfile = DATA / (f"{tag}.queries.txt" if N_QUERIES == 32768
+                    else f"{tag}.queries{N_QUERIES}.txt")
     if index_npz.exists() and issl.exists() and qfile.exists():
         return index_npz, issl, qfile
 
@@ -76,22 +82,27 @@ def ensure_dataset():
     n = GENOME_MBP * 1_000_000
     log(f"generating {GENOME_MBP} Mbp synthetic genome")
     genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes()
-    log("extracting off-target sites")
-    t0 = time.time()
-    sites = extract_offtarget_sites_seq(genome, to_upper=False)
-    log(f"  {len(sites):,} sites in {time.time() - t0:.1f}s")
-    log("building ISSL index")
-    t0 = time.time()
-    index = build_index(sites, seq_length=20, slice_width=8)
-    log(f"  {index.num_sites:,} distinct sites in {time.time() - t0:.1f}s")
-    save_native(index, str(index_npz))
-    write_reference_issl(index, str(issl))
+    if not (index_npz.exists() and issl.exists()):
+        log("extracting off-target sites")
+        t0 = time.time()
+        sites = extract_offtarget_sites_seq(genome, to_upper=False)
+        log(f"  {len(sites):,} sites in {time.time() - t0:.1f}s")
+        log("building ISSL index")
+        t0 = time.time()
+        index = build_index(sites, seq_length=20, slice_width=8)
+        log(f"  {index.num_sites:,} distinct sites in {time.time() - t0:.1f}s")
+        save_native(index, str(index_npz))
+        write_reference_issl(index, str(issl))
 
     log("extracting candidate guides for queries")
     _, _, cand = find_candidate_guides_seq(genome[: min(len(genome), 8 * N_QUERIES * 30)])
     queries = np.unique(cand & np.uint64((1 << 40) - 1))
     rng.shuffle(queries)
     queries = queries[:N_QUERIES]
+    if queries.shape[0] < N_QUERIES:
+        raise RuntimeError(
+            f"only {queries.shape[0]} candidate queries in the genome "
+            f"prefix; lower BENCH_QUERIES")
     qfile.write_text("".join(s + "\n" for s in sigs_to_strings(queries, 20)))
     return index_npz, issl, qfile
 
@@ -143,6 +154,16 @@ def time_ours(index_npz, queries):
         scorer = MxuIsslScorer(index, max_dist=4, method="and",
                                threshold=75.0)
         log("engine: mxu (bit-exact)")
+    if scorer is None and engine in ("auto", "compact"):
+        try:
+            from crackling_tpu.ops.issl_compact import CompactIsslScorer
+
+            scorer = CompactIsslScorer(index, max_dist=4)
+            log("engine: compact (two-phase mask matmul)")
+        except Exception as e:
+            if engine == "compact":
+                raise
+            log(f"compact engine unavailable ({e}); trying dense")
     if scorer is None and engine in ("auto", "dense"):
         try:
             from crackling_tpu.ops.issl_dense import DenseIsslScorer

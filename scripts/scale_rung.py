@@ -107,7 +107,7 @@ def main():
     ap.add_argument("--pool-mbp", type=int, default=600)
     ap.add_argument("--queries", type=int, default=16384)
     ap.add_argument("--ref-queries", type=int, default=512)
-    ap.add_argument("--engine", choices=("pallas", "dense"),
+    ap.add_argument("--engine", choices=("pallas", "dense", "compact"),
                     default="pallas")
     ap.add_argument("--ref-repeats", type=int, default=3,
                     help="best-of-N repeats for each reference timing run "
@@ -182,6 +182,9 @@ def main():
     log(f"devices: {jax.devices()}")
     if args.engine == "dense":
         from crackling_tpu.ops.issl_dense import DenseIsslScorer as Engine
+    elif args.engine == "compact":
+        from crackling_tpu.ops.issl_compact import \
+            CompactIsslScorer as Engine
     else:
         from crackling_tpu.ops.issl_pallas import PallasIsslScorer as Engine
 

@@ -1,0 +1,103 @@
+"""Compact two-phase engine (ops/issl_compact.py) vs the brute-force oracle.
+
+Interpret-mode pallas runs the (5, 256) grid as Python, so a single
+module-scoped dataset is shared and each scorer construction is reused
+across assertions. Coverage: score accuracy (f32 per-hit arithmetic is
+much tighter than the dense engine's bf16-split tier), paging, every
+decode stage (single-hit slots, single-hit chunk cells, multi-hit chunk
+rescan), compaction-cap overflow page splitting, and hybrid wrapping.
+"""
+
+import numpy as np
+import pytest
+
+from crackling_tpu.index import build_index
+from crackling_tpu.ops.issl_compact import CompactIsslScorer
+from crackling_tpu.ops.oracle import score_bruteforce
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 1 << 40, size=600).astype(np.uint64)
+    mut = []
+    for sig in base[:150]:
+        pos = rng.integers(0, 20)
+        mut.append(
+            (np.uint64(sig) & ~(np.uint64(3) << np.uint64(2 * pos)))
+            | (np.uint64(rng.integers(0, 4)) << np.uint64(2 * pos))
+        )
+    # heavy duplication of a few sites: multi-hit chunks for the rescan
+    # stage even at chunk=1024 (all dups share one bucket position run)
+    hot = np.repeat(base[:4], 64)
+    sites = np.concatenate([base, np.array(mut, dtype=np.uint64), hot])
+    index = build_index(sites)
+    # self-hits, mutated neighbours, absent queries, duplicates (the same
+    # query occupying several slots of one bucket)
+    queries = np.concatenate([
+        base[:16],
+        rng.integers(0, 1 << 40, 8).astype(np.uint64),
+        np.repeat(base[3:5], 4),
+    ])
+    return index, queries
+
+
+def test_compact_engine_vs_bruteforce(data):
+    index, queries = data
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+
+    sc = CompactIsslScorer(index, max_dist=4, query_page=64, chunk=1024,
+                           interpret=True)
+    mit, cfd = sc.score_sums(queries)
+    # per-hit math is plain f32 (no bf16 split): ~1e-6 relative
+    np.testing.assert_allclose(mit, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
+
+    mit_s, cfd_s = sc.score(queries)
+    assert ((mit_s >= 75) == (10000.0 / (100.0 + mit_b) >= 75)).all()
+    assert ((cfd_s >= 75) == (10000.0 / (100.0 + cfd_b) >= 75)).all()
+
+    # paging: 2 pages (page < n) must reproduce the single-page sums
+    sc2 = CompactIsslScorer(index, max_dist=4, query_page=16, chunk=1024,
+                            interpret=True)
+    m2, c2 = sc2.score_sums(queries)
+    np.testing.assert_allclose(m2, mit, rtol=1e-6)
+    np.testing.assert_allclose(c2, cfd, rtol=1e-6)
+
+
+def test_compact_overflow_splits_pages(data):
+    """Compaction caps sized below the page's hit population must split
+    the page and retry (score_sums drain loop) — results unchanged."""
+    index, queries = data
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+    # cap_single = nz_cap = 24 < single-hit slots of the full 32-query
+    # page (every self-hit query contributes >= 1); floors keep the
+    # other caps safe so only the single-hit cap drives the splits
+    sc = CompactIsslScorer(index, max_dist=4, query_page=64, chunk=1024,
+                           nz_cap=24, interpret=True)
+    mit, cfd = sc.score_sums(queries)
+    np.testing.assert_allclose(mit, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_with_compact_verdicts(data):
+    """HybridIsslScorer accepts the compact engine as its fast path; the
+    combined scorer's verdicts match the bit-exact oracle for the two
+    methods with distinct exit semantics (and / avg)."""
+    from crackling_tpu.ops.issl_dense import HybridIsslScorer
+    from crackling_tpu.ops.issl_jax import verdicts
+    from crackling_tpu.ops.oracle import score_exact
+
+    index, queries = data
+    for method, thr in (("and", 75.0), ("avg", 90.0)):
+        ref_mit, ref_cfd = score_exact(index, queries, 4, thr, method)
+        fast = CompactIsslScorer(index, max_dist=4, query_page=64,
+                                 chunk=1024, interpret=True)
+        hyb = HybridIsslScorer(index, max_dist=4, method=method,
+                               threshold=thr, dense=fast)
+        mit, cfd = hyb.score(queries)
+        np.testing.assert_array_equal(
+            verdicts(mit, cfd, thr, method),
+            verdicts(ref_mit, ref_cfd, thr, method))
