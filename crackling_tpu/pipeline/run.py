@@ -148,58 +148,79 @@ class Pipeline:
 
     # -- stage A: extraction -------------------------------------------
 
+    _SPILL_COLS = (("sig23", np.uint64), ("start", np.int64),
+                   ("strand", np.int8), ("hid", np.int32))
+
     def extract_candidates(self):
-        """Scan input files; returns discovery-ordered unique guide records
-        plus the duplicate set (reference Crackling.py:171-261)."""
+        """Scan input files; returns memory-mapped candidate records plus
+        the scan-order first-occurrence index (``keep``) and the duplicate
+        set (reference Crackling.py:171-261).
+
+        Candidate columns spill to disk *during* the scan (the reference's
+        Batchinator.recordEntry role, Batchinator.py:26-42), so resident
+        memory during extraction is one sequence plus the spill buffers —
+        never the whole candidate table. The dedup pass holds one
+        8 B/candidate signature array (the reference holds every candidate
+        as a Python string in its candidateGuides set, Crackling.py:223)."""
         cm = self.cm
         recorded_sequences: set[str] = set()
 
-        # per-sequence scans accumulate as typed arrays; all dedup /
-        # duplicate marking happens vectorized in signature space (no
-        # per-candidate Python, cf. the reference's per-guide dict loop
-        # at Crackling.py:223-231)
+        import tempfile
+
+        spill_dir = tempfile.mkdtemp(
+            prefix="crackling-batches-", dir=cm["output"]["dir"])
+        self._spill_dir = spill_dir  # kept until the run completes
+        files = {k: open(os.path.join(spill_dir, f"{k}.bin"), "wb")
+                 for k, _ in self._SPILL_COLS}
+
         headers: list[str] = []
-        sig_parts: list[np.ndarray] = []
-        start_parts: list[np.ndarray] = []
-        strand_parts: list[np.ndarray] = []
-        hid_parts: list[np.ndarray] = []
+        n_total = 0
         file_bounds = [0]
         file_paths = []
+        try:
+            for path in cm.getIterFilesToProcess():
+                printer(f"Identifying possible target sites in: {path}")
+                file_paths.append(path)
+                # replicate the reference's previous-header gating incl.
+                # the always-process-the-last-sequence quirk
+                # (Crackling.py:207-252)
+                for header, seq, is_last in self._iter_fasta(path):
+                    if (not is_last and header in recorded_sequences
+                            and header != ""):
+                        continue
+                    if not is_last and header == "" and seq == "":
+                        continue
+                    recorded_sequences.add(header)
+                    starts, strands, sigs = find_candidate_guides_seq(seq)
+                    hid = len(headers)
+                    headers.append(header)
+                    sigs.astype(np.uint64).tofile(files["sig23"])
+                    starts.astype(np.int64).tofile(files["start"])
+                    (strands == "-").astype(np.int8).tofile(files["strand"])
+                    np.full(sigs.shape[0], hid,
+                            dtype=np.int32).tofile(files["hid"])
+                    n_total += int(sigs.shape[0])
+                file_bounds.append(n_total)
+        finally:
+            for fp in files.values():
+                fp.close()
 
-        for path in cm.getIterFilesToProcess():
-            printer(f"Identifying possible target sites in: {path}")
-            file_paths.append(path)
-            pairs = self._parse_fasta(path)
-            # replicate the reference's previous-header gating incl. the
-            # always-process-the-last-sequence quirk (Crackling.py:207-252)
-            for k, (header, seq) in enumerate(pairs):
-                is_last = k == len(pairs) - 1
-                if not is_last and header in recorded_sequences and header != "":
-                    continue
-                if not is_last and header == "" and seq == "":
-                    continue
-                recorded_sequences.add(header)
-                starts, strands, sigs = find_candidate_guides_seq(seq)
-                hid = len(headers)
-                headers.append(header)
-                sig_parts.append(sigs)
-                start_parts.append(starts.astype(np.int64))
-                strand_parts.append((strands == "-").astype(np.int8))
-                hid_parts.append(np.full(sigs.shape[0], hid, dtype=np.int32))
-            file_bounds.append(sum(p.shape[0] for p in sig_parts))
+        def mapped(key, dtype):
+            path = os.path.join(spill_dir, f"{key}.bin")
+            if n_total == 0:
+                return np.zeros(0, dtype=dtype)
+            return np.memmap(path, dtype=dtype, mode="r")
 
-        cat = lambda parts, dt: (np.concatenate(parts) if parts
-                                 else np.zeros(0, dtype=dt))
-        sigs = cat(sig_parts, np.uint64)
-        starts = cat(start_parts, np.int64)
-        strands = cat(strand_parts, np.int8)
-        hids = cat(hid_parts, np.int32)
+        records = {k: mapped(k, dt) for k, dt in self._SPILL_COLS}
+        records["headers"] = headers
 
-        # first-occurrence dedup in scan order; count>1 => duplicate guide
-        uniq, first, counts = np.unique(sigs, return_index=True,
+        # first-occurrence dedup in scan order; count>1 => duplicate
+        # guide. np.unique materializes the signature column once
+        # (8 B/candidate — the only whole-input allocation in stage A).
+        uniq, first, counts = np.unique(records["sig23"],
+                                        return_index=True,
                                         return_counts=True)
-        order = np.argsort(first, kind="stable")
-        keep = first[order]                       # record indices, scan order
+        records["keep"] = np.sort(first)          # record idx, scan order
         dup_sigs = np.sort(uniq[counts > 1])
 
         for f in range(len(file_paths)):
@@ -210,56 +231,47 @@ class Pipeline:
                     "this file.")
             printer(f"\tRemoving {n_file - n_first:,} duplicate-occurrence "
                     "guides.")
-
-        records = {
-            "sig23": sigs[keep],
-            "start": starts[keep],
-            "end": starts[keep] + 23,
-            "strand": strands[keep],
-            "hid": hids[keep],
-            "headers": headers,
-        }
         return records, dup_sigs
 
-    def _spill_records(self, records):
-        """Spill candidate arrays to disk; reload memory-mapped."""
-        import tempfile
-
-        spill_dir = tempfile.mkdtemp(
-            prefix="crackling-batches-", dir=self.cm["output"]["dir"])
-        self._spill_dir = spill_dir  # kept until the Pipeline is released
-        out = dict(records)
-        for key in ("sig23", "start", "end", "strand", "hid"):
-            path = os.path.join(spill_dir, f"{key}.npy")
-            np.save(path, records[key])
-            out[key] = np.load(path, mmap_mode="r")
-        return out
+    @classmethod
+    def _iter_fasta(cls, path):
+        """Lazily yield (header, joined-sequence, is_last) — one sequence
+        resident at a time (the reference also processes per sequence,
+        Crackling.py:193-238); '' header for leading headerless content."""
+        gen = cls._fasta_pairs(path)
+        prev = next(gen, None)
+        if prev is None:
+            return
+        for cur in gen:
+            yield prev[0], prev[1], False
+            prev = cur
+        yield prev[0], prev[1], True
 
     @staticmethod
-    def _parse_fasta(path):
-        """File -> ordered (header, joined-sequence) pairs; '' header for
-        leading headerless content (reference strips all line breaks,
-        Crackling.py:193-238)."""
-        pairs = []
+    def _fasta_pairs(path):
+        """Streaming equivalent of the reference's strip-line-breaks parse:
+        the initial ('', '') pair is never yielded unless content precedes
+        a header (Crackling.py:193-238 state machine)."""
         header = ""
         seq_parts: list[str] = []
+        idx = 0
         with open(path) as fp:
             for line in fp:
                 line = line.strip()
                 if not line:
                     continue
                 if line[0] == ">":
-                    pairs.append((header, "".join(seq_parts)))
+                    pair = (header, "".join(seq_parts))
+                    if idx > 0 or pair != ("", ""):
+                        yield pair
+                    idx += 1
                     header = line[1:]
                     seq_parts = []
                 else:
                     seq_parts.append(line)
-        pairs.append((header, "".join(seq_parts)))
-        # the reference's state machine never yields the initial ('', '')
-        # pair as a processed sequence unless content precedes a header
-        if pairs and pairs[0] == ("", ""):
-            pairs = pairs[1:]
-        return pairs
+        pair = (header, "".join(seq_parts))
+        if idx > 0 or pair != ("", ""):
+            yield pair
 
     # -- specificity helpers -------------------------------------------
 
@@ -285,15 +297,17 @@ class Pipeline:
         if engine == "auto":
             import jax
 
-            # TPU default: the hybrid dense engine — full-scan matmul
-            # speed (the bench headline) with a lazy bit-exact re-score of
-            # near-threshold queries, verdict-exact for every method. The
-            # order-exact XLA engine remains the CPU default and an
-            # explicit cross-check; ``engine = exact`` (the MXU engine)
-            # gives bit-exact %f score parity at ~3x baseline.
+            # TPU default: the hybrid compact engine — two-phase mask
+            # matmul speed (the bench headline) with a lazy bit-exact
+            # re-score of near-threshold queries, verdict-exact for every
+            # method; falls back to hybrid dense when a bucket exceeds the
+            # compact moment decoder's rank bound. The order-exact XLA
+            # engine remains the CPU default and an explicit cross-check;
+            # ``engine = exact`` (the MXU engine) gives bit-exact %f score
+            # parity at ~3x baseline.
             if jax.default_backend() == "tpu" and (
                     index.seq_length == 20 and index.slice_width == 8):
-                engine = "dense"
+                engine = "compact"
             else:
                 engine = "xla"
         if engine == "exact":
@@ -326,6 +340,31 @@ class Pipeline:
                 index, max_dist=int(cm["offtargetscore"]["max-distance"]),
                 method=method,
                 threshold=float(cm["offtargetscore"]["score-threshold"]))
+        elif engine == "compact":
+            # two-phase compact engine (mask matmul -> hit-moment
+            # compaction -> sparse f32 scoring): fastest single-chip
+            # path, wrapped in the hybrid's bit-exact near-threshold
+            # re-score for verdict exactness on all five methods. A
+            # bucket deeper than the moment decoder's 2^22 rank bound
+            # (extreme low-complexity skew) falls back to the dense
+            # engine, which has no depth bound.
+            from ..ops.issl_dense import HybridIsslScorer
+
+            fast = None
+            try:
+                from ..ops.issl_compact import CompactIsslScorer
+
+                fast = CompactIsslScorer(
+                    index,
+                    max_dist=int(cm["offtargetscore"]["max-distance"]))
+            except ValueError as e:
+                printer(f"compact engine unavailable ({e}); using the "
+                        "dense engine")
+            self._issl_scorer = HybridIsslScorer(
+                index, max_dist=int(cm["offtargetscore"]["max-distance"]),
+                method=method,
+                threshold=float(cm["offtargetscore"]["score-threshold"]),
+                dense=fast)
         elif engine == "sharded":
             # dense fast path spread over every local device: site-range
             # index shards + one psum of the per-query partial sums, with
@@ -550,7 +589,7 @@ class Pipeline:
             printer("Analysing files...")
             with self.metrics.stage("extract_candidates"):
                 records, dup_sigs = self.extract_candidates()
-            n_records = records["sig23"].shape[0]
+            n_records = records["keep"].shape[0]
             self.metrics.count("candidates", n_records)
             self.metrics.count("duplicates", int(dup_sigs.shape[0]))
 
@@ -565,32 +604,32 @@ class Pipeline:
 
             batch_size = int(cm["input"]["batch-size"])
             n_batches = max(1, -(-n_records // batch_size)) if n_records else 0
-            if n_batches > 1:
-                # multi-batch runs spill the candidate arrays to disk and
-                # reload them memory-mapped, so resident memory is bounded
-                # by the working batch, not the input (the Batchinator
-                # temp-CSV role, Batchinator.py:26-42, without the text
-                # round trip)
-                records = self._spill_records(records)
             headers_arr = np.array(records["headers"], dtype=object)
             strand_lut = np.array(["+", "-"], dtype=object)
             for b in range(n_batches):
                 if b < start_batch:
                     continue
                 printer(f"Processing batch file {b + 1:,} of {n_batches}")
-                sl = slice(b * batch_size, (b + 1) * batch_size)
-                sig23 = records["sig23"][sl]
+                # the candidate columns are spilled memmaps (extraction
+                # wrote them streaming); gathering by the batch's keep
+                # indices materializes one batch at a time — resident
+                # memory is bounded by the working batch, not the input
+                # (the Batchinator temp-CSV role, Batchinator.py:26-42,
+                # without the text round trip)
+                idx = records["keep"][b * batch_size:(b + 1) * batch_size]
+                sig23 = np.asarray(records["sig23"][idx])
                 # duplicate marking: binary search into the sorted dup set
                 pos = np.searchsorted(dup_sigs, sig23)
                 pos = np.minimum(pos, max(dup_sigs.shape[0] - 1, 0))
                 is_dup = (dup_sigs[pos] == sig23) if dup_sigs.size else \
                     np.zeros(sig23.shape[0], dtype=bool)
+                starts = np.asarray(records["start"][idx])
                 t = GuideTable(
                     sig23,
-                    headers_arr[records["hid"][sl]],
-                    records["start"][sl],
-                    records["end"][sl],
-                    strand_lut[records["strand"][sl]],
+                    headers_arr[np.asarray(records["hid"][idx])],
+                    starts,
+                    starts + 23,
+                    strand_lut[np.asarray(records["strand"][idx])],
                     is_dup,
                 )
                 printer(f"\tLoaded {t.n:,} guides")
