@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).resolve().parent
-_SRCS = [_HERE / "extract.cpp", _HERE / "fold.cpp"]
+_SRCS = [_HERE / "extract.cpp", _HERE / "fold.cpp", _HERE / "replay.cpp"]
 _LIB = _HERE / "_libcrackling_native.so"
 _lock = threading.Lock()
 _lib = None
@@ -84,6 +84,12 @@ def get_lib():
         lib.ct_pack_lines.argtypes = [u8p, i64, ctypes.c_int, ctypes.c_int,
                                       u64p]
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        f64wp = np.ctypeslib.ndpointer(np.float64,
+                                       flags="C_CONTIGUOUS,WRITEABLE")
+        lib.ct_replay_accumulate.restype = None
+        lib.ct_replay_accumulate.argtypes = [
+            i64p, i64, f64p, f64p, u8p, ctypes.c_int, ctypes.c_double,
+            f64wp, f64wp]
         lib.ct_fold_batch.restype = ctypes.c_int
         lib.ct_fold_batch.argtypes = [
             u8p, i64, i64, f64p, i64, f64p,
@@ -132,6 +138,31 @@ def fold_batch_native(codes: np.ndarray, nthreads: int = 0):
             "native fold library parameter-layout mismatch; rebuild "
             "_libcrackling_native.so (delete it and retry)")
     return ([bytes(row).decode() for row in structures], energies)
+
+
+_REPLAY_METHODS = {"mit": 0, "cfd": 1, "and": 2, "or": 3, "avg": 4}
+
+
+def replay_accumulate_native(starts: np.ndarray, mit_c: np.ndarray,
+                             cfd_c: np.ndarray, keep: np.ndarray,
+                             method: str, maximum_sum: float):
+    """Per-group sequential f64 hit accumulation with the reference's
+    score-visible early exit (replay.cpp), parallel across groups.
+    Returns (m, cc) per group, or None when the native lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    n_groups = starts.shape[0] - 1
+    out_m = np.empty(n_groups, dtype=np.float64)
+    out_cc = np.empty(n_groups, dtype=np.float64)
+    lib.ct_replay_accumulate(
+        starts, n_groups,
+        np.ascontiguousarray(mit_c, dtype=np.float64),
+        np.ascontiguousarray(cfd_c, dtype=np.float64),
+        np.ascontiguousarray(keep, dtype=np.uint8),
+        _REPLAY_METHODS[method], float(maximum_sum), out_m, out_cc)
+    return out_m, out_cc
 
 
 def extract_offtargets_native(seq_bytes: bytes, to_upper: bool) -> np.ndarray | None:

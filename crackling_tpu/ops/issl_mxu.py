@@ -585,13 +585,27 @@ class MxuIsslScorer:
         else:
             cfd_c = np.zeros(n_hits, dtype=np.float64)
 
-        # per-query sequential accumulation with the reference early exit
-        mit_l = mit_c.tolist()
-        cfd_l = cfd_c.tolist()
-        keep_l = keep.tolist()
+        # per-query sequential accumulation with the reference early exit:
+        # the one inherently-serial-per-query recurrence. Native path runs
+        # it in C, parallel across queries (replay.cpp — identical f64 adds
+        # in identical order, so sums stay bit-exact); without a toolchain
+        # the Python loop below computes the same thing
         bounds = np.flatnonzero(np.diff(hq)) + 1
         starts = np.concatenate([[0], bounds, [n_hits]])
         heads = hq[starts[:-1]]
+        from .. import native
+
+        acc = native.replay_accumulate_native(
+            starts, mit_c, cfd_c, keep, method, maximum_sum)
+        if acc is not None:
+            m_arr, cc_arr = acc
+            rows = qmap[heads]
+            mit_out[rows] = 10000.0 / (100.0 + m_arr)
+            cfd_out[rows] = 10000.0 / (100.0 + cc_arr)
+            return
+        mit_l = mit_c.tolist()
+        cfd_l = cfd_c.tolist()
+        keep_l = keep.tolist()
         for g in range(heads.shape[0]):
             i0, i1 = int(starts[g]), int(starts[g + 1])
             m = 0.0

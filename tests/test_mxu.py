@@ -83,3 +83,58 @@ def test_mxu_multi_page(data):
     m2, c2 = eng2.score(queries[:130])
     assert np.array_equal(m1, m2)
     assert np.array_equal(c1, c2)
+
+
+def test_replay_native_matches_python_fallback(data, monkeypatch):
+    """The C replay (replay.cpp) and the pure-Python loop are the same
+    recurrence; their outputs must be bit-identical on a mixed page for
+    every method (incl. the exit-order-sensitive avg)."""
+    from crackling_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    index, queries = data
+    outs = {}
+    for force_py in (False, True):
+        if force_py:
+            monkeypatch.setattr(native, "replay_accumulate_native",
+                                lambda *a, **k: None)
+        for method in ("and", "avg"):
+            eng = MxuIsslScorer(index, max_dist=4, method=method,
+                                threshold=75.0, query_page=512, chunk=1024,
+                                interpret=True)
+            outs[(force_py, method)] = eng.score(queries)
+    for method in ("and", "avg"):
+        m_n, c_n = outs[(False, method)]
+        m_p, c_p = outs[(True, method)]
+        assert np.array_equal(m_n, m_p)
+        assert np.array_equal(c_n, c_p)
+
+
+def test_replay_repeat_rich_throughput():
+    """A repeat-rich page (every query flagged, method=avg) must not
+    collapse to Python speed: 2M-hit replay through the native path in
+    well under a second (the Python loop takes ~1 min)."""
+    import time
+
+    from crackling_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(5)
+    n_groups, per = 2000, 1000           # 2M hits
+    mit_c = rng.random(n_groups * per)
+    cfd_c = rng.random(n_groups * per)
+    keep = (rng.random(n_groups * per) < 0.9).astype(np.uint8)
+    starts = np.arange(n_groups + 1, dtype=np.int64) * per
+    t0 = time.time()
+    out = native.replay_accumulate_native(starts, mit_c, cfd_c, keep,
+                                          "avg", 1e9)
+    dt = time.time() - t0
+    assert out is not None
+    m, cc = out
+    # spot-check group 7 against the sequential definition
+    g = slice(7 * per, 8 * per)
+    ref_m = mit_c[g][keep[g] == 1].cumsum()
+    assert m[7] == ref_m[-1]
+    assert dt < 5.0, f"native replay too slow: {dt:.2f}s for 2M hits"
