@@ -174,6 +174,7 @@ class CompactIsslScorer:
     def __init__(self, index: IsslIndex, max_dist: int | None = None,
                  query_page: int = 65536, chunk: int = 4096,
                  qb_cap: int = 512, nz_cap: int = 1 << 17,
+                 caps: tuple[int, int, int, int] | None = None,
                  interpret: bool | None = None):
         if index.slice_width != 8 or index.seq_length != 20:
             raise ValueError("compact engine supports l=20, w=8")
@@ -186,11 +187,17 @@ class CompactIsslScorer:
         self.qb_cap = int(qb_cap)
         # compaction capacities (page splits in half on overflow): every
         # decode gather/score runs at cap size, so these are kept ~2x the
-        # bench-measured populations per 64K-query page
-        self.cap_single = int(nz_cap)        # single-hit slots
-        self.cap_mslot = max(1024, int(nz_cap) // 2)   # multi-hit slots
-        self.cap_mcell = max(2048, int(nz_cap))        # nonzero chunk cells
-        self.cap_rescan = max(1024, int(nz_cap) // 4)  # multi-hit chunks
+        # bench-measured populations per 64K-query page; ``caps`` pins all
+        # four (single-hit slots, multi-hit slots, nonzero chunk cells,
+        # multi-hit chunks) explicitly — see scripts/compact_caps.py
+        if caps is not None:
+            self.cap_single, self.cap_mslot, self.cap_mcell, \
+                self.cap_rescan = (int(c) for c in caps)
+        else:
+            self.cap_single = int(nz_cap)        # single-hit slots
+            self.cap_mslot = max(1024, int(nz_cap) // 2)   # multi-hit slots
+            self.cap_mcell = max(2048, int(nz_cap))        # nonzero cells
+            self.cap_rescan = max(1024, int(nz_cap) // 4)  # multi-hit chunks
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -216,6 +223,10 @@ class CompactIsslScorer:
         self.bucket_offsets = jax.device_put(arrs["bucket_offsets"])
         self.bucket_lens = jax.device_put(arrs["bucket_lens"])
         self._runs: dict[int, callable] = {}
+        # per-page compaction populations (n_single, n_mslot, n_mcell,
+        # n_rescan) recorded by every score_sums drain — the cap-tuning
+        # instrumentation (scripts/compact_caps.py)
+        self.page_stats: list[tuple[int, int, int, int]] = []
 
     # -- device program ---------------------------------------------------
 
@@ -567,6 +578,7 @@ class CompactIsslScorer:
             retry = []
             for (lo_idx, page, _), (header, m, c) in zip(pending, fetched):
                 n1, nm, nc, n2c = (int(x) for x in header[:4])
+                self.page_stats.append((n1, nm, nc, n2c))
                 if (n1 > self.cap_single or nm > self.cap_mslot
                         or nc > self.cap_mcell or n2c > self.cap_rescan):
                     if page.shape[0] < 2:

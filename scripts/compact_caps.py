@@ -1,0 +1,91 @@
+"""Measure the compact engine's per-page compaction populations and time
+cap variants on the bench index (real chip).
+
+The compact engine's decode cost is proportional to the CAPS, not the
+populations — every gather/rescan runs at cap size and the header only
+checks for overflow (ops/issl_compact.py). The default caps were sized
+for safety; this script measures the real populations at the bench
+operating point and times tightened variants, so the defaults can sit
+~2x above the observed populations instead of ~10x.
+
+Usage: python scripts/compact_caps.py [--page 65536] [--caps N N N N ...]
+Appends one JSON line per configuration to
+scripts/compact_caps_results.jsonl.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def log(msg):
+    print(f"[caps] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--page", type=int, default=65536)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    from bench import ensure_dataset
+    from crackling_tpu.codec import strings_to_sigs
+    from crackling_tpu.index import load_native
+    from crackling_tpu.ops.issl_compact import CompactIsslScorer
+
+    index_npz, _issl, qfile = ensure_dataset()
+    index = load_native(str(index_npz))
+    sigs = strings_to_sigs([s.strip() for s in open(qfile)], 20)
+    if len(sigs) < args.page:
+        sigs = np.tile(sigs, -(-args.page // len(sigs)))[:args.page]
+    sigs = sigs[:args.page]
+
+    results = []
+
+    def timed(tag, **kw):
+        sc = CompactIsslScorer(index, max_dist=4, query_page=args.page,
+                               **kw)
+        sc.score(sigs)                      # compile + warm
+        dt = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.time()
+            sc.score(sigs)
+            dt = min(dt, time.time() - t0)
+        stats = np.array(sc.page_stats[:1])  # first (only) page
+        rec = {"tag": tag, "page": args.page,
+               "caps": [sc.cap_single, sc.cap_mslot, sc.cap_mcell,
+                        sc.cap_rescan],
+               "pops": stats[0].tolist(),
+               "t_s": round(dt, 4),
+               "guides_per_s": round(args.page / dt, 1)}
+        log(json.dumps(rec))
+        results.append(rec)
+        return rec
+
+    base = timed("default")
+    n1, nm, nc, n2c = base["pops"]
+    log(f"populations: single={n1} mslot={nm} mcell={nc} rescan={n2c}")
+
+    # tight variant: ~2x headroom over measured, rounded up to 1K
+    def up(x):
+        return max(1024, int(-(-2 * x // 1024)) * 1024)
+
+    tight = (up(n1), up(nm), up(nc), up(n2c))
+    timed("tight-2x", caps=tight)
+    timed("tight-4x", caps=tuple(2 * c for c in tight))
+
+    with open(ROOT / "scripts" / "compact_caps_results.jsonl", "a") as fp:
+        for r in results:
+            fp.write(json.dumps(r) + "\n")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
