@@ -99,7 +99,8 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
             entries_hbm.at[:, pl.ds(r0, cg), :], buf.at[slot],
             sems.at[slot])
 
-    mom_ref[0, 0] = jnp.zeros((8 * nchmax, qb), jnp.float32)
+    nblk = -(-nchmax // 4)
+    mom_ref[0, 0] = jnp.zeros((8 * nblk, qb), jnp.float32)
 
     @pl.when(blen > 0)
     def _process():
@@ -115,7 +116,7 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
         low_mask = (jnp.uint32(1) << (4 * s)) - jnp.uint32(1)
         cdims = (((0,), (0,)), ((), ()))
 
-        def body(c, carry):
+        def body(c, blk):
             slot = c % 2
 
             @pl.when(c + 1 < nch)
@@ -159,13 +160,28 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
                            .reshape(LANES // 8, 8, qb), axis=0)
             cnt1 = jnp.sum(cnt8, axis=0, keepdims=True)       # (1, qb)
             pos1 = jnp.sum(pos8, axis=0, keepdims=True)
-            # 8-row stride: Mosaic vector stores need sublane-aligned
-            # (multiple-of-8) dynamic offsets; rows 2..7 stay zero
-            mom_ref[0, 0, pl.ds(8 * c, 8), :] = jnp.concatenate(
-                [cnt1, pos1, jnp.zeros((6, qb), jnp.float32)], axis=0)
-            return carry
+            # pack 4 chunks' (cnt, pos) pairs per 8-row block: Mosaic
+            # vector stores need sublane-aligned (multiple-of-8) dynamic
+            # offsets, so the block accumulates in registers and stores
+            # once per 4 chunks (or at the bucket's last chunk) — 4x
+            # smaller moment planes than one 8-row stripe per chunk,
+            # which is what keeps deep (genome-scale) buckets in HBM
+            k = c % 4
+            # row-iota selects (Mosaic has no register-value
+            # dynamic_update_slice): blk[2k] = cnt, blk[2k+1] = pos
+            rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, qb), 0)
+            blk = jnp.where(rows8 == 2 * k,
+                            jnp.broadcast_to(cnt1, (8, qb)), blk)
+            blk = jnp.where(rows8 == 2 * k + 1,
+                            jnp.broadcast_to(pos1, (8, qb)), blk)
 
-        jax.lax.fori_loop(0, nch, body, 0)
+            @pl.when((k == 3) | (c == nch - 1))
+            def _():
+                mom_ref[0, 0, pl.ds(8 * (c // 4), 8), :] = blk
+
+            return jnp.where(k == 3, jnp.zeros_like(blk), blk)
+
+        jax.lax.fori_loop(0, nch, body, jnp.zeros((8, qb), jnp.float32))
 
 
 class CompactIsslScorer:
@@ -233,313 +249,13 @@ class CompactIsslScorer:
     def _get_run(self, qb: int):
         if qb in self._runs:
             return self._runs[qb]
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        S, B, nchmax, chunk = self.S, self.B, self._nchmax, self.chunk
-        max_dist = self.max_dist
-        rows_per_slice = self._rows_per_slice
-        cap1, capm, capm2 = self.cap_single, self.cap_mslot, self.cap_mcell
-        capr = self.cap_rescan
-        pam_ngg = float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX])
-
-        call = pl.pallas_call(
-            functools.partial(
-                _finder_kernel, chunk=chunk, qb=qb, nchmax=nchmax,
-                max_dist=max_dist, rows_per_slice=rows_per_slice),
-            out_shape=jax.ShapeDtypeStruct((S, B, 8 * nchmax, qb),
-                                           jnp.float32),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(S, B),
-                in_specs=[
-                    pl.BlockSpec((1, 1, LANES, qb),
-                                 lambda s, v, *_: (s, v, 0, 0)),
-                    pl.BlockSpec(memory_space=pl.ANY),
-                ],
-                out_specs=pl.BlockSpec((1, 1, 8 * nchmax, qb),
-                                       lambda s, v, *_: (s, v, 0, 0)),
-                scratch_shapes=[
-                    pltpu.VMEM((2, 3, chunk // LANES, LANES), jnp.uint32),
-                    pltpu.SemaphoreType.DMA((2,)),
-                ],
-            ),
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-            interpret=self.interpret,
-        )
-
-        # host constants (never device closures; cf. issl_dense.py notes)
-        maskw_flat = np.zeros(LANES, np.float32)
-        for lane in range(80):
-            maskw_flat[lane] = float(1 << (lane >> 2))
-        mitl_pos = np.log2(1.0 - np.asarray(MIT_WEIGHTS,
-                                            np.float64)).astype(np.float32)
-        pen_tab = cfd_pos_penalties().reshape(20, 16).astype(np.float32)
-        even = np.uint32(0xAAAAAAAA)
-        odd = np.uint32(0x55555555)
-
-        def plan_on_device(q_lo, q_hi):
-            n = q_lo.shape[0]
-            vals = jnp.stack(
-                [((q_lo >> (8 * s)) & jnp.uint32(0xFF)) if s < 4
-                 else (q_hi & jnp.uint32(0xFF))
-                 for s in range(S)]).astype(jnp.int32)          # (S, n)
-            order = jnp.argsort(vals, axis=1, stable=True).astype(jnp.int32)
-            sorted_vals = jnp.take_along_axis(vals, order, axis=1)
-            s_idx = jnp.arange(S, dtype=jnp.int32)[:, None]
-            counts = jnp.zeros((S, B), jnp.int32).at[s_idx, vals].add(1)
-            starts = jnp.cumsum(counts, axis=1) - counts
-            rank = (jnp.arange(n, dtype=jnp.int32)[None, :]
-                    - jnp.take_along_axis(starts, sorted_vals, axis=1))
-            return jnp.full((S, B, qb), n, jnp.int32).at[
-                jnp.broadcast_to(s_idx, (S, n)),
-                sorted_vals, rank].set(order)
-
-        def prelude(q_lo, q_hi, qsp):
-            """Per-slot mask-weight columns. The sentinel (padding) row
-            carries 2^p at EVERY (p, base) lane, so padded slots read the
-            all-mismatch mask (dist 20) and never flag as hits."""
-            n = q_lo.shape[0]
-            p = jnp.arange(20, dtype=jnp.uint32)
-            sh = (2 * p) % 32
-            word = jnp.where(p >= 16, q_hi[:, None], q_lo[:, None])
-            codes = ((word >> sh) & 3).astype(jnp.int32)      # (n, 20)
-            pw = jnp.asarray(
-                np.exp2(np.arange(20)).astype(np.float32))    # (20,)
-            onehot = jax.nn.one_hot(codes, 4, dtype=jnp.float32)  # (n,20,4)
-            w = ((1.0 - onehot) * pw[None, :, None]).reshape(n, 80)
-            full = jnp.zeros((n + 1, LANES), jnp.float32)
-            full = full.at[:n, :80].set(w)
-            full = full.at[n, :].set(jnp.asarray(maskw_flat))
-            g = full.astype(jnp.bfloat16)[qsp]            # (S, B, qb, 128)
-            return jnp.transpose(g, (0, 1, 3, 2))
-
-        def collapse_mask(x_lo, x_hi):
-            """XOR pair -> 20-bit mismatch-position mask."""
-            c_lo = ((x_lo & even) >> 1) | (x_lo & odd)
-            c_hi = ((x_hi & even) >> 1) | (x_hi & odd)
-            mask = jnp.zeros_like(c_lo)
-            for p_ in range(16):
-                mask |= ((c_lo >> (2 * p_)) & 1) << p_
-            for p_ in range(4):
-                mask |= ((c_hi >> (2 * p_)) & 1) << (16 + p_)
-            return mask
-
-        def pair_scores(q_lo_v, q_hi_v, e_lo, e_hi, occ, valid):
-            """Elementwise per-(query, entry) MIT/CFD contributions
-            (already x occurrences, zeroed where invalid); f32.
-            Broadcasts over any common shape."""
-            mask = collapse_mask(e_lo ^ q_lo_v, e_hi ^ q_hi_v)
-            mi = mask.astype(jnp.int32)
-            dist = jax.lax.population_count(mi)
-            mi1 = jnp.maximum(mi, 1)
-            first = jax.lax.population_count(~mi1 & (mi1 - 1))
-            last = 31 - jax.lax.clz(mi1)
-            m = dist.astype(jnp.float32)
-            md = jnp.maximum(m - 1.0, 1.0)
-            u = jnp.where(dist == 1, jnp.float32(19.0),
-                          (last - first).astype(jnp.float32))
-            mit_log = jnp.zeros_like(m)
-            for p_ in range(20):
-                mit_log += jnp.where((mi >> p_) & 1, mitl_pos[p_], 0.0)
-            t1 = jnp.exp2(mit_log)
-            den = (95.0 * md - 4.0 * u) * jnp.maximum(m * m, 1.0)
-            mit_local = jnp.where(dist > 0, t1 * (1900.0 * md) / den, 0.0)
-            cfd = jnp.full_like(m, pam_ngg)
-            for p_ in range(20):
-                qb2 = ((jnp.where(p_ >= 16, q_hi_v, q_lo_v)
-                        >> ((2 * p_) % 32)) & 3).astype(jnp.int32)
-                ob2 = ((jnp.where(p_ >= 16, e_hi, e_lo)
-                        >> ((2 * p_) % 32)) & 3).astype(jnp.int32)
-                pen = jnp.asarray(pen_tab[p_])[(qb2 << 2) | (ob2 ^ 3)]
-                cfd = cfd * jnp.where(qb2 != ob2, pen, 1.0)
-            cfd_local = jnp.where(dist == 0, 1.0, cfd)
-            vf = jnp.where(valid, occ.astype(jnp.float32), 0.0)
-            return mit_local * vf, cfd_local * vf
-
-        def gather_entries(entries, flatpos, sl):
-            row = sl * rows_per_slice + flatpos // LANES
-            lane = flatpos % LANES
-            return (entries[0][row, lane], entries[1][row, lane],
-                    entries[2][row, lane])
-
-        def decode_score(q_lo, q_hi, qsp_flat, kout, boff, blens, entries):
-            n = q_lo.shape[0]
-            mom = kout.reshape(S, B, nchmax, 8, qb)
-            cnt_c = mom[:, :, :, 0]                    # (S, B, NCH, qb)
-            pos_c = mom[:, :, :, 1]
-            slot_cnt = jnp.sum(cnt_c, axis=2).reshape(-1)
-            slot_pos = jnp.sum(pos_c, axis=2).reshape(-1)
-
-            def unravel_slot(i):
-                sl = i // (B * qb)
-                r = i % (B * qb)
-                return sl, r // qb, r % qb
-
-            def q_of(slot_idx):
-                return jnp.minimum(qsp_flat[slot_idx], n)
-
-            mit_sums = jnp.zeros(n + 1, jnp.float32)
-            cfd_sums = jnp.zeros(n + 1, jnp.float32)
-
-            # 1) single-hit slots: rank-sum IS the in-bucket rank
-            one = slot_cnt == 1.0
-            n1 = jnp.sum(one.astype(jnp.int32))
-            sidx = _compact_indices(one, cap1)
-            v1 = sidx >= 0
-            s1, b1, _ = unravel_slot(jnp.maximum(sidx, 0))
-            k1 = slot_pos[jnp.maximum(sidx, 0)].astype(jnp.int32)
-            lo1, hi1, occ1 = gather_entries(entries, boff[s1, b1] + k1, s1)
-            hq1 = q_of(jnp.maximum(sidx, 0))
-            qi1 = jnp.minimum(hq1, n - 1)
-            m1_, c1_ = pair_scores(q_lo[qi1], q_hi[qi1], lo1, hi1, occ1,
-                                   v1 & (hq1 < n))
-            mit_sums = mit_sums.at[hq1].add(m1_)
-            cfd_sums = cfd_sums.at[hq1].add(c1_)
-            if _STAGES < 2:
-                header = jnp.stack([n1] + [jnp.int32(0)] * 7)
-                return header, mit_sums[:n], cfd_sums[:n]
-
-            # 2) multi-hit slots -> per-chunk cells (slot-major rows:
-            # flat row index of the transposed moments == slot index)
-            multi = slot_cnt >= 2.0
-            nm = jnp.sum(multi.astype(jnp.int32))
-            midx = _compact_indices(multi, capm)
-            ct = jnp.swapaxes(cnt_c, 2, 3).reshape(-1, nchmax)
-            pt = jnp.swapaxes(pos_c, 2, 3).reshape(-1, nchmax)
-            vm = (midx >= 0)[:, None]
-            mc = jnp.where(vm, ct[jnp.maximum(midx, 0)], 0.0)  # (capm, NCH)
-            mp = jnp.where(vm, pt[jnp.maximum(midx, 0)], 0.0)
-            nc = jnp.sum((mc > 0).astype(jnp.int32))
-            mz = _compact_indices(mc.reshape(-1) > 0, capm2)
-            vz = mz >= 0
-            mrow = jnp.maximum(mz, 0) // nchmax
-            mchk = jnp.maximum(mz, 0) % nchmax
-            mslot = jnp.maximum(midx[mrow], 0)
-            mcnt = mc.reshape(-1)[jnp.maximum(mz, 0)]
-            mpos = mp.reshape(-1)[jnp.maximum(mz, 0)].astype(jnp.int32)
-            sM, bM, _ = unravel_slot(mslot)
-            hqM = q_of(mslot)
-            qiM = jnp.minimum(hqM, n - 1)
-            cM1 = vz & (mcnt == 1.0) & (hqM < n)
-            loM, hiM, occM = gather_entries(entries, boff[sM, bM] + mpos, sM)
-            mM_, cM_ = pair_scores(q_lo[qiM], q_hi[qiM], loM, hiM, occM, cM1)
-            hqM_eff = jnp.where(cM1, hqM, n)
-            mit_sums = mit_sums.at[hqM_eff].add(mM_)
-            cfd_sums = cfd_sums.at[hqM_eff].add(cM_)
-            if _STAGES < 3:
-                header = jnp.stack([n1, nm, nc] + [jnp.int32(0)] * 5)
-                return header, mit_sums[:n], cfd_sums[:n]
-
-            # 3) multi-hit chunks: rescan-and-score all <=chunk entries
-            # inline (elementwise + row sum; no hit extraction). All
-            # per-pair arithmetic works on the collapsed XOR words
-            # directly — no 20-bit mask packing — and CFD selects from a
-            # per-ROW penalty table (the query is fixed per row), so the
-            # only pair-level table op is a 4-way select.
-            c2 = vz & (mcnt >= 2.0)
-            n2c = jnp.sum(c2.astype(jnp.int32))
-            ridx = _compact_indices(c2, capr)
-            vr = ridx >= 0
-            ri = jnp.maximum(ridx, 0)
-            rs, rb = sM[ri], bM[ri]
-            rq = jnp.minimum(q_of(mslot[ri]), n - 1)
-            rq_valid = vr & (q_of(mslot[ri]) < n)
-            start = boff[rs, rb] + mchk[ri] * chunk   # chunk | ALIGN
-            rows0 = rs * rows_per_slice + start // LANES
-            rr = rows0[:, None] + jnp.arange(chunk // LANES,
-                                             dtype=jnp.int32)[None, :]
-            e_lo = entries[0][rr].reshape(-1, chunk)   # (capr, chunk)
-            e_hi = entries[1][rr].reshape(-1, chunk)
-            e_occ = entries[2][rr].reshape(-1, chunk)
-            cols = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-            q_lo_r = q_lo[rq][:, None]
-            q_hi_r = q_hi[rq][:, None]
-            x_lo = e_lo ^ q_lo_r
-            x_hi = e_hi ^ q_hi_r
-            c_lo = ((x_lo & even) >> 1) | (x_lo & odd)  # bit 2p = mismatch p
-            c_hi = ((x_hi & even) >> 1) | (x_hi & odd)
-            distR = (jax.lax.population_count(c_lo)
-                     + jax.lax.population_count(c_hi)).astype(jnp.int32)
-            # first-clean-slice dedup on bytes: slice s' < rs is clean iff
-            # byte s' of c_lo is zero (slice 4 is never "earlier")
-            bsel = jnp.where(
-                rs[:, None] >= 4, jnp.uint32(0xFFFFFFFF),
-                (jnp.uint32(1) << (8 * jnp.minimum(rs[:, None], 3)))
-                - jnp.uint32(1))
-            xb = c_lo | ~bsel
-            seenR = ((xb - jnp.uint32(0x01010101)) & ~xb
-                     & jnp.uint32(0x80808080)) != 0
-            in_chunk = cols < (blens[rs, rb] - mchk[ri] * chunk)[:, None]
-            rvalid = ((distR <= max_dist) & ~seenR & in_chunk
-                      & rq_valid[:, None])
-            # MIT closed form from the collapsed words
-            lo_i = c_lo.astype(jnp.int32)
-            hi_i = c_hi.astype(jnp.int32)
-            ctz_lo = jax.lax.population_count(~lo_i & (lo_i - 1))
-            ctz_hi = jax.lax.population_count(~hi_i & (hi_i - 1))
-            firstR = jnp.where(lo_i != 0, ctz_lo >> 1, 16 + (ctz_hi >> 1))
-            lastR = jnp.where(
-                hi_i != 0,
-                16 + ((31 - jax.lax.clz(jnp.maximum(hi_i, 1))) >> 1),
-                (31 - jax.lax.clz(jnp.maximum(lo_i, 1))) >> 1)
-            mR = distR.astype(jnp.float32)
-            mdR = jnp.maximum(mR - 1.0, 1.0)
-            uR = jnp.where(distR == 1, jnp.float32(19.0),
-                           (lastR - firstR).astype(jnp.float32))
-            mit_logR = jnp.zeros_like(mR)
-            for p_ in range(16):
-                mit_logR += jnp.where((c_lo >> (2 * p_)) & 1,
-                                      mitl_pos[p_], 0.0)
-            for p_ in range(4):
-                mit_logR += jnp.where((c_hi >> (2 * p_)) & 1,
-                                      mitl_pos[16 + p_], 0.0)
-            denR = (95.0 * mdR - 4.0 * uR) * jnp.maximum(mR * mR, 1.0)
-            mitR = jnp.where(distR > 0,
-                             jnp.exp2(mit_logR) * (1900.0 * mdR) / denR,
-                             0.0)
-            # CFD: per-row (20, 4) penalty table with 1.0 baked at the
-            # matching base, then a 4-way select per (pair, position)
-            p20 = jnp.arange(20, dtype=jnp.uint32)
-            shq = (2 * p20) % 32
-            qword = jnp.where(p20[None, :] >= 16, q_hi[rq][:, None],
-                              q_lo[rq][:, None])
-            rcodes = ((qword >> shq[None, :]) & 3).astype(jnp.int32)
-            b4 = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-            pidx = (rcodes[:, :, None] << 2) | (b4 ^ 3)
-            rpen = jnp.asarray(pen_tab)[
-                jnp.arange(20, dtype=jnp.int32)[None, :, None], pidx]
-            rpen = jnp.where(b4 == rcodes[:, :, None], 1.0, rpen)
-            cfdR = jnp.full_like(mR, pam_ngg)
-            for p_ in range(20):
-                eword = e_hi if p_ >= 16 else e_lo
-                ob = ((eword >> ((2 * p_) % 32)) & 3).astype(jnp.int32)
-                t0 = rpen[:, p_, 0][:, None]
-                t1 = rpen[:, p_, 1][:, None]
-                t2 = rpen[:, p_, 2][:, None]
-                t3 = rpen[:, p_, 3][:, None]
-                pen = jnp.where(ob < 2, jnp.where(ob == 0, t0, t1),
-                                jnp.where(ob == 2, t2, t3))
-                cfdR = cfdR * pen
-            cfdR = jnp.where(distR == 0, 1.0, cfdR)
-            vfR = jnp.where(rvalid, e_occ.astype(jnp.float32), 0.0)
-            hqR = jnp.where(rq_valid, q_of(mslot[ri]), n)
-            mit_sums = mit_sums.at[hqR].add(jnp.sum(mitR * vfR, axis=1))
-            cfd_sums = cfd_sums.at[hqR].add(jnp.sum(cfdR * vfR, axis=1))
-
-            header = jnp.stack([n1, nm, nc, n2c,
-                                jnp.int32(0), jnp.int32(0),
-                                jnp.int32(0), jnp.int32(0)])
-            return header, mit_sums[:n], cfd_sums[:n]
-
-        def run(q_lo, q_hi, boff, blens, entries):
-            qsp = plan_on_device(q_lo, q_hi)
-            wts = prelude(q_lo, q_hi, qsp)
-            kout = call(boff, blens, wts, entries)
-            return decode_score(q_lo, q_hi, qsp.reshape(-1), kout,
-                                boff, blens, entries)
-
-        fn = jax.jit(run)
+        fn = jax.jit(build_run(
+            S=self.S, B=self.B, nchmax=self._nchmax, chunk=self.chunk,
+            qb=qb, max_dist=self.max_dist,
+            rows_per_slice=self._rows_per_slice,
+            caps=(self.cap_single, self.cap_mslot, self.cap_mcell,
+                  self.cap_rescan),
+            interpret=self.interpret))
         self._runs[qb] = fn
         return fn
 
@@ -600,3 +316,322 @@ class CompactIsslScorer:
     def score(self, query_sigs: np.ndarray):
         mit_sum, cfd_sum = self.score_sums(query_sigs)
         return 10000.0 / (100.0 + mit_sum), 10000.0 / (100.0 + cfd_sum)
+
+
+def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
+              max_dist: int, rows_per_slice: int,
+              caps: tuple[int, int, int, int], interpret: bool):
+    """The compact engine's full device program for one query page:
+    ``run(q_lo, q_hi, boff, blens, entries) -> (header, mit_sums,
+    cfd_sums)``. Module-level so the multi-device path
+    (parallel/sharded.ShardedCompactIsslScorer) can run the identical
+    program per shard inside ``shard_map`` — returned UN-jitted."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cap1, capm, capm2, capr = caps
+    pam_ngg = float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX])
+    nblk = -(-nchmax // 4)        # 8-row moment blocks, 4 chunks each
+    nchd = 4 * nblk               # decode-side chunk-cell count
+
+    call = pl.pallas_call(
+        functools.partial(
+            _finder_kernel, chunk=chunk, qb=qb, nchmax=nchmax,
+            max_dist=max_dist, rows_per_slice=rows_per_slice),
+        out_shape=jax.ShapeDtypeStruct((S, B, 8 * nblk, qb),
+                                       jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(S, B),
+            in_specs=[
+                pl.BlockSpec((1, 1, LANES, qb),
+                             lambda s, v, *_: (s, v, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 8 * nblk, qb),
+                                   lambda s, v, *_: (s, v, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 3, chunk // LANES, LANES), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    # host constants (never device closures; cf. issl_dense.py notes)
+    maskw_flat = np.zeros(LANES, np.float32)
+    for lane in range(80):
+        maskw_flat[lane] = float(1 << (lane >> 2))
+    mitl_pos = np.log2(1.0 - np.asarray(MIT_WEIGHTS,
+                                        np.float64)).astype(np.float32)
+    pen_tab = cfd_pos_penalties().reshape(20, 16).astype(np.float32)
+    even = np.uint32(0xAAAAAAAA)
+    odd = np.uint32(0x55555555)
+
+    def plan_on_device(q_lo, q_hi):
+        n = q_lo.shape[0]
+        vals = jnp.stack(
+            [((q_lo >> (8 * s)) & jnp.uint32(0xFF)) if s < 4
+             else (q_hi & jnp.uint32(0xFF))
+             for s in range(S)]).astype(jnp.int32)          # (S, n)
+        order = jnp.argsort(vals, axis=1, stable=True).astype(jnp.int32)
+        sorted_vals = jnp.take_along_axis(vals, order, axis=1)
+        s_idx = jnp.arange(S, dtype=jnp.int32)[:, None]
+        counts = jnp.zeros((S, B), jnp.int32).at[s_idx, vals].add(1)
+        starts = jnp.cumsum(counts, axis=1) - counts
+        rank = (jnp.arange(n, dtype=jnp.int32)[None, :]
+                - jnp.take_along_axis(starts, sorted_vals, axis=1))
+        return jnp.full((S, B, qb), n, jnp.int32).at[
+            jnp.broadcast_to(s_idx, (S, n)),
+            sorted_vals, rank].set(order)
+
+    def prelude(q_lo, q_hi, qsp):
+        """Per-slot mask-weight columns. The sentinel (padding) row
+        carries 2^p at EVERY (p, base) lane, so padded slots read the
+        all-mismatch mask (dist 20) and never flag as hits."""
+        n = q_lo.shape[0]
+        p = jnp.arange(20, dtype=jnp.uint32)
+        sh = (2 * p) % 32
+        word = jnp.where(p >= 16, q_hi[:, None], q_lo[:, None])
+        codes = ((word >> sh) & 3).astype(jnp.int32)      # (n, 20)
+        pw = jnp.asarray(
+            np.exp2(np.arange(20)).astype(np.float32))    # (20,)
+        onehot = jax.nn.one_hot(codes, 4, dtype=jnp.float32)  # (n,20,4)
+        w = ((1.0 - onehot) * pw[None, :, None]).reshape(n, 80)
+        full = jnp.zeros((n + 1, LANES), jnp.float32)
+        full = full.at[:n, :80].set(w)
+        full = full.at[n, :].set(jnp.asarray(maskw_flat))
+        g = full.astype(jnp.bfloat16)[qsp]            # (S, B, qb, 128)
+        return jnp.transpose(g, (0, 1, 3, 2))
+
+    def collapse_mask(x_lo, x_hi):
+        """XOR pair -> 20-bit mismatch-position mask."""
+        c_lo = ((x_lo & even) >> 1) | (x_lo & odd)
+        c_hi = ((x_hi & even) >> 1) | (x_hi & odd)
+        mask = jnp.zeros_like(c_lo)
+        for p_ in range(16):
+            mask |= ((c_lo >> (2 * p_)) & 1) << p_
+        for p_ in range(4):
+            mask |= ((c_hi >> (2 * p_)) & 1) << (16 + p_)
+        return mask
+
+    def pair_scores(q_lo_v, q_hi_v, e_lo, e_hi, occ, valid):
+        """Elementwise per-(query, entry) MIT/CFD contributions
+        (already x occurrences, zeroed where invalid); f32.
+        Broadcasts over any common shape."""
+        mask = collapse_mask(e_lo ^ q_lo_v, e_hi ^ q_hi_v)
+        mi = mask.astype(jnp.int32)
+        dist = jax.lax.population_count(mi)
+        mi1 = jnp.maximum(mi, 1)
+        first = jax.lax.population_count(~mi1 & (mi1 - 1))
+        last = 31 - jax.lax.clz(mi1)
+        m = dist.astype(jnp.float32)
+        md = jnp.maximum(m - 1.0, 1.0)
+        u = jnp.where(dist == 1, jnp.float32(19.0),
+                      (last - first).astype(jnp.float32))
+        mit_log = jnp.zeros_like(m)
+        for p_ in range(20):
+            mit_log += jnp.where((mi >> p_) & 1, mitl_pos[p_], 0.0)
+        t1 = jnp.exp2(mit_log)
+        den = (95.0 * md - 4.0 * u) * jnp.maximum(m * m, 1.0)
+        mit_local = jnp.where(dist > 0, t1 * (1900.0 * md) / den, 0.0)
+        cfd = jnp.full_like(m, pam_ngg)
+        for p_ in range(20):
+            qb2 = ((jnp.where(p_ >= 16, q_hi_v, q_lo_v)
+                    >> ((2 * p_) % 32)) & 3).astype(jnp.int32)
+            ob2 = ((jnp.where(p_ >= 16, e_hi, e_lo)
+                    >> ((2 * p_) % 32)) & 3).astype(jnp.int32)
+            pen = jnp.asarray(pen_tab[p_])[(qb2 << 2) | (ob2 ^ 3)]
+            cfd = cfd * jnp.where(qb2 != ob2, pen, 1.0)
+        cfd_local = jnp.where(dist == 0, 1.0, cfd)
+        vf = jnp.where(valid, occ.astype(jnp.float32), 0.0)
+        return mit_local * vf, cfd_local * vf
+
+    def gather_entries(entries, flatpos, sl):
+        row = sl * rows_per_slice + flatpos // LANES
+        lane = flatpos % LANES
+        return (entries[0][row, lane], entries[1][row, lane],
+                entries[2][row, lane])
+
+    def decode_score(q_lo, q_hi, qsp_flat, kout, boff, blens, entries):
+        n = q_lo.shape[0]
+        # packed layout: block b rows [2k, 2k+1] = (cnt, pos) of chunk
+        # 4b + k; cells past the bucket's last chunk are all-zero and
+        # never flagged downstream
+        mom = kout.reshape(S, B, nblk, 4, 2, qb)
+        cnt_c = mom[:, :, :, :, 0].reshape(S, B, nchd, qb)
+        pos_c = mom[:, :, :, :, 1].reshape(S, B, nchd, qb)
+        slot_cnt = jnp.sum(cnt_c, axis=2).reshape(-1)
+        slot_pos = jnp.sum(pos_c, axis=2).reshape(-1)
+
+        def unravel_slot(i):
+            sl = i // (B * qb)
+            r = i % (B * qb)
+            return sl, r // qb, r % qb
+
+        def q_of(slot_idx):
+            return jnp.minimum(qsp_flat[slot_idx], n)
+
+        mit_sums = jnp.zeros(n + 1, jnp.float32)
+        cfd_sums = jnp.zeros(n + 1, jnp.float32)
+
+        # 1) single-hit slots: rank-sum IS the in-bucket rank
+        one = slot_cnt == 1.0
+        n1 = jnp.sum(one.astype(jnp.int32))
+        sidx = _compact_indices(one, cap1)
+        v1 = sidx >= 0
+        s1, b1, _ = unravel_slot(jnp.maximum(sidx, 0))
+        k1 = slot_pos[jnp.maximum(sidx, 0)].astype(jnp.int32)
+        lo1, hi1, occ1 = gather_entries(entries, boff[s1, b1] + k1, s1)
+        hq1 = q_of(jnp.maximum(sidx, 0))
+        qi1 = jnp.minimum(hq1, n - 1)
+        m1_, c1_ = pair_scores(q_lo[qi1], q_hi[qi1], lo1, hi1, occ1,
+                               v1 & (hq1 < n))
+        mit_sums = mit_sums.at[hq1].add(m1_)
+        cfd_sums = cfd_sums.at[hq1].add(c1_)
+        if _STAGES < 2:
+            header = jnp.stack([n1] + [jnp.int32(0)] * 7)
+            return header, mit_sums[:n], cfd_sums[:n]
+
+        # 2) multi-hit slots -> per-chunk cells (slot-major rows:
+        # flat row index of the transposed moments == slot index)
+        multi = slot_cnt >= 2.0
+        nm = jnp.sum(multi.astype(jnp.int32))
+        midx = _compact_indices(multi, capm)
+        ct = jnp.swapaxes(cnt_c, 2, 3).reshape(-1, nchd)
+        pt = jnp.swapaxes(pos_c, 2, 3).reshape(-1, nchd)
+        vm = (midx >= 0)[:, None]
+        mc = jnp.where(vm, ct[jnp.maximum(midx, 0)], 0.0)  # (capm, NCH)
+        mp = jnp.where(vm, pt[jnp.maximum(midx, 0)], 0.0)
+        nc = jnp.sum((mc > 0).astype(jnp.int32))
+        mz = _compact_indices(mc.reshape(-1) > 0, capm2)
+        vz = mz >= 0
+        mrow = jnp.maximum(mz, 0) // nchd
+        mchk = jnp.maximum(mz, 0) % nchd
+        mslot = jnp.maximum(midx[mrow], 0)
+        mcnt = mc.reshape(-1)[jnp.maximum(mz, 0)]
+        mpos = mp.reshape(-1)[jnp.maximum(mz, 0)].astype(jnp.int32)
+        sM, bM, _ = unravel_slot(mslot)
+        hqM = q_of(mslot)
+        qiM = jnp.minimum(hqM, n - 1)
+        cM1 = vz & (mcnt == 1.0) & (hqM < n)
+        loM, hiM, occM = gather_entries(entries, boff[sM, bM] + mpos, sM)
+        mM_, cM_ = pair_scores(q_lo[qiM], q_hi[qiM], loM, hiM, occM, cM1)
+        hqM_eff = jnp.where(cM1, hqM, n)
+        mit_sums = mit_sums.at[hqM_eff].add(mM_)
+        cfd_sums = cfd_sums.at[hqM_eff].add(cM_)
+        if _STAGES < 3:
+            header = jnp.stack([n1, nm, nc] + [jnp.int32(0)] * 5)
+            return header, mit_sums[:n], cfd_sums[:n]
+
+        # 3) multi-hit chunks: rescan-and-score all <=chunk entries
+        # inline (elementwise + row sum; no hit extraction). All
+        # per-pair arithmetic works on the collapsed XOR words
+        # directly — no 20-bit mask packing — and CFD selects from a
+        # per-ROW penalty table (the query is fixed per row), so the
+        # only pair-level table op is a 4-way select.
+        c2 = vz & (mcnt >= 2.0)
+        n2c = jnp.sum(c2.astype(jnp.int32))
+        ridx = _compact_indices(c2, capr)
+        vr = ridx >= 0
+        ri = jnp.maximum(ridx, 0)
+        rs, rb = sM[ri], bM[ri]
+        rq = jnp.minimum(q_of(mslot[ri]), n - 1)
+        rq_valid = vr & (q_of(mslot[ri]) < n)
+        start = boff[rs, rb] + mchk[ri] * chunk   # chunk | ALIGN
+        rows0 = rs * rows_per_slice + start // LANES
+        rr = rows0[:, None] + jnp.arange(chunk // LANES,
+                                         dtype=jnp.int32)[None, :]
+        e_lo = entries[0][rr].reshape(-1, chunk)   # (capr, chunk)
+        e_hi = entries[1][rr].reshape(-1, chunk)
+        e_occ = entries[2][rr].reshape(-1, chunk)
+        cols = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        q_lo_r = q_lo[rq][:, None]
+        q_hi_r = q_hi[rq][:, None]
+        x_lo = e_lo ^ q_lo_r
+        x_hi = e_hi ^ q_hi_r
+        c_lo = ((x_lo & even) >> 1) | (x_lo & odd)  # bit 2p = mismatch p
+        c_hi = ((x_hi & even) >> 1) | (x_hi & odd)
+        distR = (jax.lax.population_count(c_lo)
+                 + jax.lax.population_count(c_hi)).astype(jnp.int32)
+        # first-clean-slice dedup on bytes: slice s' < rs is clean iff
+        # byte s' of c_lo is zero (slice 4 is never "earlier")
+        bsel = jnp.where(
+            rs[:, None] >= 4, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (8 * jnp.minimum(rs[:, None], 3)))
+            - jnp.uint32(1))
+        xb = c_lo | ~bsel
+        seenR = ((xb - jnp.uint32(0x01010101)) & ~xb
+                 & jnp.uint32(0x80808080)) != 0
+        in_chunk = cols < (blens[rs, rb] - mchk[ri] * chunk)[:, None]
+        rvalid = ((distR <= max_dist) & ~seenR & in_chunk
+                  & rq_valid[:, None])
+        # MIT closed form from the collapsed words
+        lo_i = c_lo.astype(jnp.int32)
+        hi_i = c_hi.astype(jnp.int32)
+        ctz_lo = jax.lax.population_count(~lo_i & (lo_i - 1))
+        ctz_hi = jax.lax.population_count(~hi_i & (hi_i - 1))
+        firstR = jnp.where(lo_i != 0, ctz_lo >> 1, 16 + (ctz_hi >> 1))
+        lastR = jnp.where(
+            hi_i != 0,
+            16 + ((31 - jax.lax.clz(jnp.maximum(hi_i, 1))) >> 1),
+            (31 - jax.lax.clz(jnp.maximum(lo_i, 1))) >> 1)
+        mR = distR.astype(jnp.float32)
+        mdR = jnp.maximum(mR - 1.0, 1.0)
+        uR = jnp.where(distR == 1, jnp.float32(19.0),
+                       (lastR - firstR).astype(jnp.float32))
+        mit_logR = jnp.zeros_like(mR)
+        for p_ in range(16):
+            mit_logR += jnp.where((c_lo >> (2 * p_)) & 1,
+                                  mitl_pos[p_], 0.0)
+        for p_ in range(4):
+            mit_logR += jnp.where((c_hi >> (2 * p_)) & 1,
+                                  mitl_pos[16 + p_], 0.0)
+        denR = (95.0 * mdR - 4.0 * uR) * jnp.maximum(mR * mR, 1.0)
+        mitR = jnp.where(distR > 0,
+                         jnp.exp2(mit_logR) * (1900.0 * mdR) / denR,
+                         0.0)
+        # CFD: per-row (20, 4) penalty table with 1.0 baked at the
+        # matching base, then a 4-way select per (pair, position)
+        p20 = jnp.arange(20, dtype=jnp.uint32)
+        shq = (2 * p20) % 32
+        qword = jnp.where(p20[None, :] >= 16, q_hi[rq][:, None],
+                          q_lo[rq][:, None])
+        rcodes = ((qword >> shq[None, :]) & 3).astype(jnp.int32)
+        b4 = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+        pidx = (rcodes[:, :, None] << 2) | (b4 ^ 3)
+        rpen = jnp.asarray(pen_tab)[
+            jnp.arange(20, dtype=jnp.int32)[None, :, None], pidx]
+        rpen = jnp.where(b4 == rcodes[:, :, None], 1.0, rpen)
+        cfdR = jnp.full_like(mR, pam_ngg)
+        for p_ in range(20):
+            eword = e_hi if p_ >= 16 else e_lo
+            ob = ((eword >> ((2 * p_) % 32)) & 3).astype(jnp.int32)
+            t0 = rpen[:, p_, 0][:, None]
+            t1 = rpen[:, p_, 1][:, None]
+            t2 = rpen[:, p_, 2][:, None]
+            t3 = rpen[:, p_, 3][:, None]
+            pen = jnp.where(ob < 2, jnp.where(ob == 0, t0, t1),
+                            jnp.where(ob == 2, t2, t3))
+            cfdR = cfdR * pen
+        cfdR = jnp.where(distR == 0, 1.0, cfdR)
+        vfR = jnp.where(rvalid, e_occ.astype(jnp.float32), 0.0)
+        hqR = jnp.where(rq_valid, q_of(mslot[ri]), n)
+        mit_sums = mit_sums.at[hqR].add(jnp.sum(mitR * vfR, axis=1))
+        cfd_sums = cfd_sums.at[hqR].add(jnp.sum(cfdR * vfR, axis=1))
+
+        header = jnp.stack([n1, nm, nc, n2c,
+                            jnp.int32(0), jnp.int32(0),
+                            jnp.int32(0), jnp.int32(0)])
+        return header, mit_sums[:n], cfd_sums[:n]
+
+    def run(q_lo, q_hi, boff, blens, entries):
+        qsp = plan_on_device(q_lo, q_hi)
+        wts = prelude(q_lo, q_hi, qsp)
+        kout = call(boff, blens, wts, entries)
+        return decode_score(q_lo, q_hi, qsp.reshape(-1), kout,
+                            boff, blens, entries)
+
+    return run

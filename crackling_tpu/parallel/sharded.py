@@ -472,6 +472,199 @@ class ShardedDenseIsslScorer:
         return 10000.0 / (100.0 + mit_sum), 10000.0 / (100.0 + cfd_sum)
 
 
+class ShardedCompactIsslScorer:
+    """The compact two-phase engine over a device mesh.
+
+    Same sharding contract as :class:`ShardedDenseIsslScorer` — site-range
+    index shards (shard-local first-clean-slice dedup stays exact,
+    isslScoreOfftargets.cpp:385-387), queries replicated over the index
+    axes (optionally split over 'q'), one ``psum`` of the per-query
+    partial MIT/CFD sums — but the per-device program is the compact
+    engine's full pipeline (ops/issl_compact.build_run): mask-matmul hit
+    finding, moment decode, sparse f32 scoring of the hits. The
+    compaction-cap header is ``pmax``-merged across shards so the host's
+    overflow check sees the worst device; an overflowing page splits and
+    retries exactly like the single-chip engine.
+
+    Full-scan semantics: verdicts exact for mit/cfd/and/or; wrap with the
+    hybrid near-threshold re-score for reference-exact verdicts on all
+    five methods.
+    """
+
+    def __init__(self, index: IsslIndex | None, mesh: Mesh,
+                 max_dist: int | None = None, query_page: int = 65536,
+                 chunk: int = 4096, qb_cap: int = 512, nz_cap: int = 1 << 17,
+                 caps: tuple[int, int, int, int] | None = None,
+                 interpret: bool | None = None,
+                 index_axes: tuple[str, ...] = ("shard",),
+                 _local: dict | None = None):
+        from ..ops.issl_dense import ALIGN, LANES
+
+        for a in index_axes:
+            if a not in mesh.axis_names:
+                raise ValueError(f"mesh must have a {a!r} axis")
+        self.mesh = mesh
+        self.index_axes = tuple(index_axes)
+        self.n_shards = int(np.prod([mesh.shape[a] for a in self.index_axes]))
+        self.n_q = mesh.shape.get("q", 1)
+        self.has_q_axis = "q" in mesh.axis_names
+        self.query_page = int(query_page)
+        self.chunk = int(chunk)
+        self.qb_cap = int(qb_cap)
+        if caps is not None:
+            self.caps = tuple(int(c) for c in caps)
+        else:
+            self.caps = (int(nz_cap), max(1024, int(nz_cap) // 2),
+                         max(2048, int(nz_cap)), max(1024, int(nz_cap) // 4))
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self.interpret = interpret
+
+        if _local is None:
+            if index.slice_width != 8 or index.seq_length != 20:
+                raise ValueError("compact engine supports l=20, w=8")
+            shards = shard_index(index, self.n_shards)
+            per = [s.device_arrays_aligned(align=ALIGN, tail=self.chunk)
+                   for s in shards]
+            meta = dict(slice_count=index.slice_count,
+                        slice_width=index.slice_width,
+                        max_dist=index.max_dist,
+                        maxblen=max(int(p["bucket_lens"].max())
+                                    for p in per))
+            stacked = _stack_dense_shards(per, LANES)
+
+            def put(a, p):
+                return jax.device_put(a, NamedSharding(mesh, p))
+        else:
+            stacked, meta = _local["stacked"], _local["meta"]
+
+            def put(a, p):
+                sh = NamedSharding(mesh, p)
+                return jax.make_array_from_process_local_data(
+                    sh, a, (self.n_shards,) + a.shape[1:])
+
+        if meta["maxblen"] >= (1 << 22):
+            raise ValueError(
+                f"bucket with {meta['maxblen']:,} entries exceeds the "
+                "moment decoder's 2^22 rank-exactness bound")
+        self._nchmax = max(1, -(-meta["maxblen"] // self.chunk))
+        self.S = meta["slice_count"]
+        self.B = 1 << meta["slice_width"]
+        self.slice_width = meta["slice_width"]
+        self.max_dist = (meta["max_dist"] if max_dist is None
+                         else int(max_dist))
+        self._rows_per_slice = stacked["entries"].shape[2] // self.S
+        spec = P(self.index_axes)
+        self.entries = put(stacked["entries"], spec)       # (K, 3, rows, 128)
+        self.bucket_offsets = put(stacked["bucket_offsets"], spec)
+        self.bucket_lens = put(stacked["bucket_lens"], spec)
+        self.page_stats: list[tuple[int, int, int, int]] = []
+        self._steps: dict[int, callable] = {}
+
+    def _get_step(self, qb: int):
+        if qb in self._steps:
+            return self._steps[qb]
+        from ..ops.issl_compact import build_run
+
+        run = build_run(S=self.S, B=self.B, nchmax=self._nchmax,
+                        chunk=self.chunk, qb=qb, max_dist=self.max_dist,
+                        rows_per_slice=self._rows_per_slice,
+                        caps=self.caps, interpret=self.interpret)
+        index_axes = self.index_axes
+
+        def per_device(q_lo, q_hi, boff, blens, entries):
+            header, mit, cfd = run(q_lo, q_hi, boff[0], blens[0],
+                                   entries[0])
+            mit = jax.lax.psum(mit, axis_name=index_axes)
+            cfd = jax.lax.psum(cfd, axis_name=index_axes)
+            # worst per-device compaction populations decide overflow
+            header = jax.lax.pmax(header, axis_name=index_axes)
+            return header, mit, cfd
+
+        qspec = P("q") if self.has_q_axis else P()
+        sspec = P(self.index_axes)
+        mapped = jax.shard_map(
+            per_device, mesh=self.mesh,
+            in_specs=(qspec, qspec, sspec, sspec, sspec),
+            out_specs=(qspec, qspec, qspec), check_vma=False)
+        fn = jax.jit(mapped)
+        self._steps[qb] = fn
+        return fn
+
+    def _to_global(self, arr: np.ndarray):
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        spec = P("q") if self.has_q_axis else P()
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, spec), arr, arr.shape)
+
+    def score_sums(self, query_sigs: np.ndarray):
+        sigs = np.asarray(query_sigs, dtype=np.uint64)
+        n = sigs.shape[0]
+        out_mit = np.zeros(n, dtype=np.float64)
+        out_cfd = np.zeros(n, dtype=np.float64)
+        pending = []
+        from ..ops.issl_dense import plan_query_occupancy
+
+        def dispatch(lo_idx, page):
+            # whole-page occupancy upper-bounds every 'q' sub-page
+            qb, _need = plan_query_occupancy(
+                page, self.S, self.B, self.slice_width, self.qb_cap)
+            if qb is None:
+                half = page.shape[0] // 2
+                if half == 0:
+                    raise RuntimeError("query bucket overflow; raise qb_cap")
+                dispatch(lo_idx, page[:half])
+                dispatch(lo_idx + half, page[half:])
+                return
+            pad = (-page.shape[0]) % self.n_q
+            padded = (np.concatenate([page, np.zeros(pad, np.uint64)])
+                      if pad else page)
+            lo, hi = sig_split(padded)
+            fn = self._get_step(qb)
+            out = fn(self._to_global(lo.view(np.uint32)),
+                     self._to_global(hi.view(np.uint32)),
+                     self.bucket_offsets, self.bucket_lens, self.entries)
+            pending.append((lo_idx, page, out))
+
+        for i in range(0, n, self.query_page):
+            dispatch(i, sigs[i:i + self.query_page])
+
+        cap1, capm, capm2, capr = self.caps
+        while pending:
+            if jax.process_count() == 1:
+                fetched = jax.device_get([o for _, _, o in pending])
+            else:
+                fetched = [tuple(ShardedIsslScorer._to_local(x) for x in o)
+                           for _, _, o in pending]
+            retry = []
+            for (lo_idx, page, _), (header, m, c) in zip(pending, fetched):
+                # per-'q'-group headers stack along axis 0: take the max
+                hdr = np.asarray(header).reshape(-1, 8).max(axis=0)
+                n1, nm, nc, n2c = (int(x) for x in hdr[:4])
+                self.page_stats.append((n1, nm, nc, n2c))
+                if n1 > cap1 or nm > capm or nc > capm2 or n2c > capr:
+                    if page.shape[0] < 2:
+                        raise RuntimeError(
+                            "hit compaction overflow on a single query; "
+                            "raise nz_cap")
+                    retry.append((lo_idx, page))
+                    continue
+                ln = page.shape[0]
+                out_mit[lo_idx:lo_idx + ln] = m[:ln]
+                out_cfd[lo_idx:lo_idx + ln] = c[:ln]
+            pending = []
+            for lo_idx, page in retry:
+                half = page.shape[0] // 2
+                dispatch(lo_idx, page[:half])
+                dispatch(lo_idx + half, page[half:])
+        return out_mit, out_cfd
+
+    def score(self, query_sigs: np.ndarray):
+        mit_sum, cfd_sum = self.score_sums(query_sigs)
+        return 10000.0 / (100.0 + mit_sum), 10000.0 / (100.0 + cfd_sum)
+
+
 def _stack_dense_shards(per: list[dict], lanes: int,
                         epad: int | None = None) -> dict[str, np.ndarray]:
     """Per-shard device_arrays_aligned dicts -> stacked dense planes.

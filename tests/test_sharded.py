@@ -102,3 +102,39 @@ def test_sharded_matches_single_device(data):
     m2, c2 = single.score(queries)
     np.testing.assert_allclose(m1, m2, rtol=2e-6)
     np.testing.assert_allclose(c1, c2, rtol=2e-6)
+
+
+@pytest.mark.parametrize("shape", [(1, 4), (2, 2)])
+def test_sharded_compact_matches_bruteforce(data, shape):
+    """The compact (fastest-path) engine under shard_map + psum agrees
+    with the brute-force oracle; the pmax-merged cap header reports the
+    worst device and small caps still converge via page splits."""
+    from crackling_tpu.parallel.sharded import ShardedCompactIsslScorer
+
+    index, queries = data
+    n_q, n_shards = shape
+    mesh = make_mesh(n_shards=n_shards, n_q=n_q)
+    scorer = ShardedCompactIsslScorer(index, mesh, max_dist=4,
+                                      query_page=32, chunk=1024)
+    mit, cfd = scorer.score_sums(queries)
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+    # per-hit arithmetic is plain f32 (compact tier)
+    np.testing.assert_allclose(mit, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
+    assert scorer.page_stats, "header stats not recorded"
+
+
+def test_sharded_compact_matches_single_device(data):
+    from crackling_tpu.ops.issl_compact import CompactIsslScorer
+    from crackling_tpu.parallel.sharded import ShardedCompactIsslScorer
+
+    index, queries = data
+    mesh = make_mesh(n_shards=8, n_q=1)
+    sharded = ShardedCompactIsslScorer(index, mesh, max_dist=4,
+                                       query_page=64, chunk=1024)
+    single = CompactIsslScorer(index, max_dist=4, query_page=64, chunk=1024)
+    m1, c1 = sharded.score(queries)
+    m2, c2 = single.score(queries)
+    np.testing.assert_allclose(m1, m2, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(c1, c2, rtol=2e-5, atol=2e-5)
