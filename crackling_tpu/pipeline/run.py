@@ -366,25 +366,31 @@ class Pipeline:
                 threshold=float(cm["offtargetscore"]["score-threshold"]),
                 dense=fast)
         elif engine == "sharded":
-            # dense fast path spread over every local device: site-range
+            # fastest engine spread over every local device: site-range
             # index shards + one psum of the per-query partial sums, with
-            # the hybrid's bit-exact near-threshold re-score on top
+            # the hybrid's bit-exact near-threshold re-score on top.
+            # Compact program per shard; dense fallback past the compact
+            # decoder's bucket-depth bound.
             import jax
 
             from ..ops.issl_dense import HybridIsslScorer
-            from ..parallel.sharded import (ShardedDenseIsslScorer,
+            from ..parallel.sharded import (ShardedCompactIsslScorer,
+                                            ShardedDenseIsslScorer,
                                             make_mesh)
 
             n_dev = len(jax.devices())
             mesh = make_mesh(n_shards=n_dev, n_q=1)
-            dense = ShardedDenseIsslScorer(
-                index, mesh,
-                max_dist=int(cm["offtargetscore"]["max-distance"]))
+            md = int(cm["offtargetscore"]["max-distance"])
+            try:
+                fast = ShardedCompactIsslScorer(index, mesh, max_dist=md)
+            except ValueError as e:
+                printer(f"sharded compact unavailable ({e}); using the "
+                        "sharded dense engine")
+                fast = ShardedDenseIsslScorer(index, mesh, max_dist=md)
             self._issl_scorer = HybridIsslScorer(
-                index, max_dist=int(cm["offtargetscore"]["max-distance"]),
-                method=method,
+                index, max_dist=md, method=method,
                 threshold=float(cm["offtargetscore"]["score-threshold"]),
-                dense=dense)
+                dense=fast)
         elif engine == "pallas":
             from ..ops.issl_pallas import PallasIsslScorer
 
