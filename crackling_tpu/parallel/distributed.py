@@ -101,9 +101,7 @@ def load_index_range(path: str, lo: int, hi: int) -> IsslIndex:
     )
 
 
-def multihost_scorer(issl_path: str, mesh, **kwargs) -> ShardedIsslScorer:
-    """Build the sharded scorer for this process from an .issl file,
-    loading only the site ranges this host's devices own."""
+def _local_shards_of(issl_path: str, mesh):
     import jax
 
     with open(issl_path, "rb") as fp:
@@ -112,9 +110,32 @@ def multihost_scorer(issl_path: str, mesh, **kwargs) -> ShardedIsslScorer:
     n_shard = mesh.shape["shard"]
     bounds = shard_bounds(n, n_hosts * n_shard)
     pid = jax.process_index()
-    local_shards = [
+    return n, [
         load_index_range(issl_path, *bounds[pid * n_shard + k])
         for k in range(n_shard)
     ]
+
+
+def multihost_scorer(issl_path: str, mesh, **kwargs) -> ShardedIsslScorer:
+    """Build the sharded (order-exact XLA) scorer for this process from
+    an .issl file, loading only the site ranges this host's devices own."""
+    n, local_shards = _local_shards_of(issl_path, mesh)
     return ShardedIsslScorer.from_local_shards(
         local_shards, mesh, n, index_axes=("host", "shard"), **kwargs)
+
+
+def multihost_fast_scorer(issl_path: str, mesh, **kwargs):
+    """Build the fast multi-host scorer: the compact two-phase program
+    per shard, falling back to the dense engine past the compact
+    decoder's bucket-depth bound. Same loading contract as
+    :func:`multihost_scorer` — each process materializes only its own
+    site ranges."""
+    from .sharded import ShardedCompactIsslScorer, ShardedDenseIsslScorer
+
+    n, local_shards = _local_shards_of(issl_path, mesh)
+    try:
+        return ShardedCompactIsslScorer.from_local_shards(
+            local_shards, mesh, n, index_axes=("host", "shard"), **kwargs)
+    except ValueError:
+        return ShardedDenseIsslScorer.from_local_shards(
+            local_shards, mesh, n, index_axes=("host", "shard"), **kwargs)

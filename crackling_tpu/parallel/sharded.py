@@ -561,6 +561,48 @@ class ShardedCompactIsslScorer:
         self.page_stats: list[tuple[int, int, int, int]] = []
         self._steps: dict[int, callable] = {}
 
+    @classmethod
+    def from_local_shards(cls, local_shards: list[IsslIndex], mesh: Mesh,
+                          global_num_sites: int, *,
+                          max_dist: int | None = None,
+                          query_page: int = 65536, chunk: int = 4096,
+                          qb_cap: int = 512, nz_cap: int = 1 << 17,
+                          caps: tuple[int, int, int, int] | None = None,
+                          interpret: bool | None = None,
+                          index_axes: tuple[str, ...] = ("host", "shard")):
+        """Multi-host construction from this process's own site-range
+        shards (cf. ShardedDenseIsslScorer.from_local_shards). Two global
+        quantities must agree across processes for a common compiled
+        program: the padded entry width (analytic bound, as dense) and
+        the moment-plane depth nchmax — derived from the global max
+        bucket length via one tiny process_allgather at build time."""
+        from ..ops.issl_dense import ALIGN, LANES
+
+        s0 = local_shards[0]
+        per = [s.device_arrays_aligned(align=ALIGN, tail=chunk)
+               for s in local_shards]
+        local_maxblen = max(int(p["bucket_lens"].max()) for p in per)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            global_maxblen = int(multihost_utils.process_allgather(
+                np.asarray(local_maxblen, dtype=np.int64)).max())
+        else:
+            global_maxblen = local_maxblen
+        n_shards = int(np.prod([mesh.shape[a] for a in index_axes]))
+        bounds = shard_bounds(global_num_sites, n_shards)
+        worst = max(hi - lo for lo, hi in bounds)
+        b_count = 1 << s0.slice_width
+        epad_bound = worst + (b_count + 1) * ALIGN + chunk
+        epad_bound = -(-epad_bound // ALIGN) * ALIGN
+        stacked = _stack_dense_shards(per, LANES, epad=epad_bound)
+        meta = dict(slice_count=s0.slice_count, slice_width=s0.slice_width,
+                    max_dist=s0.max_dist, maxblen=global_maxblen)
+        return cls(None, mesh, max_dist=max_dist, query_page=query_page,
+                   chunk=chunk, qb_cap=qb_cap, nz_cap=nz_cap, caps=caps,
+                   interpret=interpret, index_axes=index_axes,
+                   _local=dict(stacked=stacked, meta=meta))
+
     def _get_step(self, qb: int):
         if qb in self._steps:
             return self._steps[qb]

@@ -42,6 +42,14 @@ WORKER = textwrap.dedent("""
     mit, cfd = sc.score_sums(exp["queries"])
     np.testing.assert_allclose(mit, exp["mit"], rtol=2e-6, atol=1e-6)
     np.testing.assert_allclose(cfd, exp["cfd"], rtol=2e-6, atol=1e-6)
+    # the fast path over the same mesh: compact program per shard,
+    # DCN-crossing psum + process_allgather'd moment depth
+    from crackling_tpu.parallel.distributed import multihost_fast_scorer
+    fast = multihost_fast_scorer(os.path.join(tmp, "g.issl"), mesh,
+                                 max_dist=4, chunk=1024, query_page=128)
+    fm, fc = fast.score_sums(exp["queries"])
+    np.testing.assert_allclose(fm, exp["mit"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(fc, exp["cfd"], rtol=1e-5, atol=1e-5)
     print(f"DIST_OK {pid}", flush=True)
 """)
 
