@@ -100,7 +100,7 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
             sems.at[slot])
 
     nblk = -(-nchmax // 4)
-    mom_ref[0, 0] = jnp.zeros((8 * nblk, qb), jnp.float32)
+    mom_ref[0, 0] = jnp.zeros((8 * (nblk + 1), qb), jnp.float32)
 
     @pl.when(blen > 0)
     def _process():
@@ -116,7 +116,8 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
         low_mask = (jnp.uint32(1) << (4 * s)) - jnp.uint32(1)
         cdims = (((0,), (0,)), ((), ()))
 
-        def body(c, blk):
+        def body(c, carry):
+            blk, tot = carry
             slot = c % 2
 
             @pl.when(c + 1 < nch)
@@ -174,14 +175,28 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
                             jnp.broadcast_to(cnt1, (8, qb)), blk)
             blk = jnp.where(rows8 == 2 * k + 1,
                             jnp.broadcast_to(pos1, (8, qb)), blk)
+            # bucket totals in rows 0 (count) / 1 (rank sum) of `tot`:
+            # single-hit slots resolve from these alone, so the decode
+            # never reduces over the full chunk-moment planes
+            tot = tot + jnp.where(rows8 == 0,
+                                  jnp.broadcast_to(cnt1, (8, qb)),
+                                  jnp.where(rows8 == 1,
+                                            jnp.broadcast_to(pos1, (8, qb)),
+                                            jnp.zeros((8, qb), jnp.float32)))
 
             @pl.when((k == 3) | (c == nch - 1))
             def _():
                 mom_ref[0, 0, pl.ds(8 * (c // 4), 8), :] = blk
 
-            return jnp.where(k == 3, jnp.zeros_like(blk), blk)
+            @pl.when(c == nch - 1)
+            def _():
+                mom_ref[0, 0, pl.ds(8 * nblk, 8), :] = tot
 
-        jax.lax.fori_loop(0, nch, body, jnp.zeros((8, qb), jnp.float32))
+            return (jnp.where(k == 3, jnp.zeros_like(blk), blk), tot)
+
+        jax.lax.fori_loop(0, nch, body,
+                          (jnp.zeros((8, qb), jnp.float32),
+                           jnp.zeros((8, qb), jnp.float32)))
 
 
 class CompactIsslScorer:
@@ -339,7 +354,7 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
         functools.partial(
             _finder_kernel, chunk=chunk, qb=qb, nchmax=nchmax,
             max_dist=max_dist, rows_per_slice=rows_per_slice),
-        out_shape=jax.ShapeDtypeStruct((S, B, 8 * nblk, qb),
+        out_shape=jax.ShapeDtypeStruct((S, B, 8 * (nblk + 1), qb),
                                        jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -349,7 +364,7 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
                              lambda s, v, *_: (s, v, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, 8 * nblk, qb),
+            out_specs=pl.BlockSpec((1, 1, 8 * (nblk + 1), qb),
                                    lambda s, v, *_: (s, v, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, 3, chunk // LANES, LANES), jnp.uint32),
@@ -458,13 +473,15 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
     def decode_score(q_lo, q_hi, qsp_flat, kout, boff, blens, entries):
         n = q_lo.shape[0]
         # packed layout: block b rows [2k, 2k+1] = (cnt, pos) of chunk
-        # 4b + k; cells past the bucket's last chunk are all-zero and
-        # never flagged downstream
-        mom = kout.reshape(S, B, nblk, 4, 2, qb)
-        cnt_c = mom[:, :, :, :, 0].reshape(S, B, nchd, qb)
-        pos_c = mom[:, :, :, :, 1].reshape(S, B, nchd, qb)
-        slot_cnt = jnp.sum(cnt_c, axis=2).reshape(-1)
-        slot_pos = jnp.sum(pos_c, axis=2).reshape(-1)
+        # 4b + k; block nblk rows 0/1 = bucket totals. Cells past the
+        # bucket's last chunk are all-zero and never flagged downstream.
+        # Slot totals come straight from the kernel's bucket-total rows —
+        # the full chunk-moment planes are only ever point-gathered (for
+        # multi-hit slots), never reduced or transposed whole, so decode
+        # prep stays O(page) even when buckets are hundreds of chunks
+        # deep (mouse-scale: nchd ~1900).
+        slot_cnt = kout[:, :, 8 * nblk, :].reshape(-1)
+        slot_pos = kout[:, :, 8 * nblk + 1, :].reshape(-1)
 
         def unravel_slot(i):
             sl = i // (B * qb)
@@ -495,16 +512,21 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
             header = jnp.stack([n1] + [jnp.int32(0)] * 7)
             return header, mit_sums[:n], cfd_sums[:n]
 
-        # 2) multi-hit slots -> per-chunk cells (slot-major rows:
-        # flat row index of the transposed moments == slot index)
+        # 2) multi-hit slots -> per-chunk cells: point-gather each
+        # flagged slot's (nchd,) chunk-moment vectors straight from the
+        # kernel output (capm x nchd elements — never a transpose or
+        # reduction of the full planes)
         multi = slot_cnt >= 2.0
         nm = jnp.sum(multi.astype(jnp.int32))
         midx = _compact_indices(multi, capm)
-        ct = jnp.swapaxes(cnt_c, 2, 3).reshape(-1, nchd)
-        pt = jnp.swapaxes(pos_c, 2, 3).reshape(-1, nchd)
         vm = (midx >= 0)[:, None]
-        mc = jnp.where(vm, ct[jnp.maximum(midx, 0)], 0.0)  # (capm, NCH)
-        mp = jnp.where(vm, pt[jnp.maximum(midx, 0)], 0.0)
+        s2_, b2_, q2_ = unravel_slot(jnp.maximum(midx, 0))
+        chj = jnp.arange(nchd, dtype=jnp.int32)
+        rowc = 8 * (chj // 4) + 2 * (chj % 4)           # cnt row of chunk j
+        mc = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
+                                rowc[None, :], q2_[:, None]], 0.0)
+        mp = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
+                                rowc[None, :] + 1, q2_[:, None]], 0.0)
         nc = jnp.sum((mc > 0).astype(jnp.int32))
         mz = _compact_indices(mc.reshape(-1) > 0, capm2)
         vz = mz >= 0
