@@ -77,6 +77,30 @@ class GuideTable:
             yield [self.col[c][i] for c in GUIDE_COLUMNS]
 
 
+# Average-bucket-depth crossover between the compact and dense TPU
+# engines (entries per slice bucket = num_sites / 256 at w=8). Below it
+# the compact two-phase engine wins (mask matmul + sparse decode, the
+# bench headline); above it bucket depth inflates the decode's chunk-
+# cell expansion and hit populations until the dense engine's flat
+# per-entry epilogue is faster. Round-3 measurements: compact 3.7K vs
+# dense 18.5K guides/s at 435K average depth (mouse rung), compact
+# ~290K vs dense ~220K at 20K depth (27 Mbp bench) — the crossover sits
+# between; 100K is the midpoint STATUS.md's round-3 analysis names.
+COMPACT_DEPTH_CROSSOVER = 100_000
+
+
+def select_auto_engine(index, backend: str) -> str:
+    """Resolve ``engine = auto``: the depth-aware TPU engine choice.
+
+    The reference has one scan loop whatever the index depth
+    (isslScoreOfftargets.cpp:344-461); here each depth regime has a
+    dedicated engine and auto picks by average bucket depth."""
+    if backend != "tpu" or index.seq_length != 20 or index.slice_width != 8:
+        return "xla"
+    avg_depth = index.num_sites / index.bucket_count
+    return "compact" if avg_depth <= COMPACT_DEPTH_CROSSOVER else "dense"
+
+
 def _batched(idx: np.ndarray, page_len: int):
     """Chunk an index array into pages (page_len 0 => a single page),
     mirroring the reference Paginator semantics (Paginator.py:26-47)."""
@@ -297,19 +321,18 @@ class Pipeline:
         if engine == "auto":
             import jax
 
-            # TPU default: the hybrid compact engine — two-phase mask
-            # matmul speed (the bench headline) with a lazy bit-exact
-            # re-score of near-threshold queries, verdict-exact for every
-            # method; falls back to hybrid dense when a bucket exceeds the
-            # compact moment decoder's rank bound. The order-exact XLA
-            # engine remains the CPU default and an explicit cross-check;
-            # ``engine = exact`` (the MXU engine) gives bit-exact %f score
-            # parity at ~3x baseline.
-            if jax.default_backend() == "tpu" and (
-                    index.seq_length == 20 and index.slice_width == 8):
-                engine = "compact"
-            else:
-                engine = "xla"
+            # TPU default: depth-aware pick between the hybrid compact
+            # engine (two-phase mask matmul, the bench headline) and the
+            # hybrid dense engine (flat per-entry epilogue, the deep-rung
+            # fast path) — both wrapped in a lazy bit-exact re-score of
+            # near-threshold queries, verdict-exact for every method. The
+            # order-exact XLA engine remains the CPU default and an
+            # explicit cross-check; ``engine = exact`` (the MXU engine)
+            # gives bit-exact %f score parity at ~3x baseline.
+            engine = select_auto_engine(index, jax.default_backend())
+            if engine != "xla":
+                printer(f"engine auto: {engine} (avg bucket depth "
+                        f"{index.num_sites / index.bucket_count:,.0f})")
         if engine == "exact":
             engine = "mxu"
         if engine == "mxu":
