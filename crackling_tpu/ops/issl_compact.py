@@ -20,11 +20,20 @@ a tiny fraction of pairs on real indexes. This engine splits the work:
   nonzero domains stay small; a single-hit chunk's rank-sum IS the
   hit's in-bucket rank, exact in f32 below 2^22).
 * **Phase 2 (XLA, same device)**: moment decode — single-hit slots
-  resolve directly; multi-hit slots expand through their chunk cells;
-  single-hit cells resolve directly; multi-hit chunks are **rescanned
-  inline**: their <=4096 packed entries are gathered, the hit
-  predicate and per-pair MIT/CFD are evaluated elementwise and
-  row-summed (no hit extraction at all, so no large nonzero) —
+  resolve directly; multi-hit slots expand down a **moment tree**:
+  on deep indexes the kernel also emits per-*superchunk* (~sqrt(nch)
+  chunks) moments, so a multi-hit slot first expands into its few
+  superchunk cells, single-hit superchunk cells resolve directly, and
+  only multi-hit superchunk cells expand into their chunk cells —
+  the expansion per slot is O(sqrt(depth)) instead of O(depth), which
+  is what keeps the decode flat at mammal-genome bucket depth (the
+  round-3 collapse: a 64K-slot page at ~1,000-chunk depth gathered
+  ~250M chunk cells; the tree gathers ~4M). Shallow indexes skip the
+  level (identical to the two-level decode). Single-hit cells resolve
+  directly; multi-hit chunks are **rescanned inline**: their <=4096
+  packed entries are gathered, the hit predicate and per-pair MIT/CFD
+  are evaluated elementwise and row-summed (no hit extraction at all,
+  so no large nonzero) —
   followed by sparse scoring of the point hits: the mismatch mask is
   recomputed from the packed signatures, MIT uses the closed form
   (isslCreateIndex.cpp:93-118), CFD the exact 320-entry penalty-table
@@ -67,6 +76,34 @@ enable_persistent_cache()
 _STAGES = 3
 
 
+def auto_superchunk(nchmax: int) -> int:
+    """Superchunk size (chunks per superchunk) for a given moment-plane
+    depth: 0 (level disabled) while the direct slot->chunk expansion is
+    cheap, ~sqrt(depth) once it is not, so both tree levels expand
+    O(sqrt(depth)) cells."""
+    if nchmax <= 64:
+        return 0
+    return max(8, 4 * int(round(float(np.sqrt(nchmax)) / 4.0)))
+
+
+def normalize_caps(caps, nz_cap: int):
+    """Six compaction capacities (single-hit slots, multi-hit slots,
+    nonzero superchunk cells, multi-hit superchunk cells, nonzero chunk
+    cells, multi-hit chunks). Legacy 4-tuples (pre-superchunk) map their
+    cell/rescan caps onto the superchunk level."""
+    if caps is None:
+        nz = int(nz_cap)
+        return (nz, max(1024, nz // 2), max(2048, nz),
+                max(1024, nz // 4), max(2048, nz), max(1024, nz // 4))
+    caps = tuple(int(c) for c in caps)
+    if len(caps) == 4:
+        c1, cm, c2, cr = caps
+        return (c1, cm, c2, cr, c2, cr)
+    if len(caps) != 6:
+        raise ValueError("caps must have 4 (legacy) or 6 entries")
+    return caps
+
+
 def _compact_indices(mask, cap: int):
     """Indices of True elements (first ``cap``, -1 fill) via exclusive
     cumsum + bounded scatter — jnp.nonzero(size=) costs ~2x this on TPU."""
@@ -79,7 +116,7 @@ def _compact_indices(mask, cap: int):
 
 def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
                    buf, sems, *, chunk: int, qb: int, nchmax: int,
-                   max_dist: int, rows_per_slice: int):
+                   max_dist: int, rows_per_slice: int, superchunk: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -100,7 +137,8 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
             sems.at[slot])
 
     nblk = -(-nchmax // 4)
-    mom_ref[0, 0] = jnp.zeros((8 * (nblk + 1), qb), jnp.float32)
+    nsb = -(-(-(-nchmax // superchunk)) // 4) if superchunk else 0
+    mom_ref[0, 0] = jnp.zeros((8 * (nblk + nsb + 1), qb), jnp.float32)
 
     @pl.when(blen > 0)
     def _process():
@@ -117,7 +155,10 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
         cdims = (((0,), (0,)), ((), ()))
 
         def body(c, carry):
-            blk, tot = carry
+            if superchunk:
+                blk, tot, scblk, scc, scp = carry
+            else:
+                blk, tot = carry
             slot = c % 2
 
             @pl.when(c + 1 < nch)
@@ -190,13 +231,45 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
 
             @pl.when(c == nch - 1)
             def _():
-                mom_ref[0, 0, pl.ds(8 * nblk, 8), :] = tot
+                mom_ref[0, 0, pl.ds(8 * (nblk + nsb), 8), :] = tot
 
-            return (jnp.where(k == 3, jnp.zeros_like(blk), blk), tot)
+            new_blk = jnp.where(k == 3, jnp.zeros_like(blk), blk)
+            if not superchunk:
+                return (new_blk, tot)
 
-        jax.lax.fori_loop(0, nch, body,
-                          (jnp.zeros((8, qb), jnp.float32),
-                           jnp.zeros((8, qb), jnp.float32)))
+            # superchunk moments: the middle tree level. Accumulate the
+            # chunk's (cnt, global-rank-sum) pair into the running
+            # superchunk registers; at a superchunk boundary fold them
+            # into the 4-superchunk block register and store the block
+            # when full (rows [8*nblk, 8*(nblk+nsb)), after the chunk
+            # blocks, before the totals)
+            scc = scc + cnt1
+            scp = scp + pos1
+            j = c // superchunk
+            ksc = j % 4
+            at_end = ((c + 1) % superchunk == 0) | (c == nch - 1)
+            scblk = jnp.where(at_end & (rows8 == 2 * ksc),
+                              jnp.broadcast_to(scc, (8, qb)), scblk)
+            scblk = jnp.where(at_end & (rows8 == 2 * ksc + 1),
+                              jnp.broadcast_to(scp, (8, qb)), scblk)
+            store_sc = at_end & ((ksc == 3) | (c == nch - 1))
+
+            @pl.when(store_sc)
+            def _():
+                mom_ref[0, 0, pl.ds(8 * (nblk + j // 4), 8), :] = scblk
+
+            scc = jnp.where(at_end, jnp.zeros_like(scc), scc)
+            scp = jnp.where(at_end, jnp.zeros_like(scp), scp)
+            scblk = jnp.where(store_sc, jnp.zeros_like(scblk), scblk)
+            return (new_blk, tot, scblk, scc, scp)
+
+        init = (jnp.zeros((8, qb), jnp.float32),
+                jnp.zeros((8, qb), jnp.float32))
+        if superchunk:
+            init = init + (jnp.zeros((8, qb), jnp.float32),
+                           jnp.zeros((1, qb), jnp.float32),
+                           jnp.zeros((1, qb), jnp.float32))
+        jax.lax.fori_loop(0, nch, body, init)
 
 
 class CompactIsslScorer:
@@ -205,7 +278,8 @@ class CompactIsslScorer:
     def __init__(self, index: IsslIndex, max_dist: int | None = None,
                  query_page: int = 65536, chunk: int = 4096,
                  qb_cap: int = 512, nz_cap: int = 1 << 17,
-                 caps: tuple[int, int, int, int] | None = None,
+                 caps: tuple | None = None,
+                 superchunk: int | None = None,
                  interpret: bool | None = None):
         if index.slice_width != 8 or index.seq_length != 20:
             raise ValueError("compact engine supports l=20, w=8")
@@ -219,16 +293,11 @@ class CompactIsslScorer:
         # compaction capacities (page splits in half on overflow): every
         # decode gather/score runs at cap size, so these are kept ~2x the
         # bench-measured populations per 64K-query page; ``caps`` pins all
-        # four (single-hit slots, multi-hit slots, nonzero chunk cells,
+        # six (single-hit slots, multi-hit slots, nonzero superchunk
+        # cells, multi-hit superchunk cells, nonzero chunk cells,
         # multi-hit chunks) explicitly — see scripts/compact_caps.py
-        if caps is not None:
-            self.cap_single, self.cap_mslot, self.cap_mcell, \
-                self.cap_rescan = (int(c) for c in caps)
-        else:
-            self.cap_single = int(nz_cap)        # single-hit slots
-            self.cap_mslot = max(1024, int(nz_cap) // 2)   # multi-hit slots
-            self.cap_mcell = max(2048, int(nz_cap))        # nonzero cells
-            self.cap_rescan = max(1024, int(nz_cap) // 4)  # multi-hit chunks
+        (self.cap_single, self.cap_mslot, self.cap_scell, self.cap_sresc,
+         self.cap_mcell, self.cap_rescan) = normalize_caps(caps, nz_cap)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -245,6 +314,8 @@ class CompactIsslScorer:
                 f"bucket with {maxblen:,} entries exceeds the moment "
                 "decoder's 2^22 rank-exactness bound")
         self._nchmax = max(1, -(-maxblen // self.chunk))
+        self.superchunk = (auto_superchunk(self._nchmax)
+                           if superchunk is None else int(superchunk))
         planes = np.stack([
             arrs["list_lo"].reshape(-1, LANES).view(np.uint32),
             arrs["list_hi"].reshape(-1, LANES).view(np.uint32),
@@ -254,12 +325,16 @@ class CompactIsslScorer:
         self.bucket_offsets = jax.device_put(arrs["bucket_offsets"])
         self.bucket_lens = jax.device_put(arrs["bucket_lens"])
         self._runs: dict[int, callable] = {}
-        # per-page compaction populations (n_single, n_mslot, n_mcell,
-        # n_rescan) recorded by every score_sums drain — the cap-tuning
-        # instrumentation (scripts/compact_caps.py)
-        self.page_stats: list[tuple[int, int, int, int]] = []
+        # per-page compaction populations (n_single, n_mslot, n_scell,
+        # n_sresc, n_mcell, n_rescan) recorded by every score_sums drain
+        # — the cap-tuning instrumentation (scripts/compact_caps.py)
+        self.page_stats: list[tuple[int, ...]] = []
 
     # -- device program ---------------------------------------------------
+
+    def _caps(self):
+        return (self.cap_single, self.cap_mslot, self.cap_scell,
+                self.cap_sresc, self.cap_mcell, self.cap_rescan)
 
     def _get_run(self, qb: int):
         if qb in self._runs:
@@ -268,8 +343,7 @@ class CompactIsslScorer:
             S=self.S, B=self.B, nchmax=self._nchmax, chunk=self.chunk,
             qb=qb, max_dist=self.max_dist,
             rows_per_slice=self._rows_per_slice,
-            caps=(self.cap_single, self.cap_mslot, self.cap_mcell,
-                  self.cap_rescan),
+            caps=self._caps(), superchunk=self.superchunk,
             interpret=self.interpret))
         self._runs[qb] = fn
         return fn
@@ -308,10 +382,9 @@ class CompactIsslScorer:
             fetched = jax.device_get([o for _, _, o in pending])
             retry = []
             for (lo_idx, page, _), (header, m, c) in zip(pending, fetched):
-                n1, nm, nc, n2c = (int(x) for x in header[:4])
-                self.page_stats.append((n1, nm, nc, n2c))
-                if (n1 > self.cap_single or nm > self.cap_mslot
-                        or nc > self.cap_mcell or n2c > self.cap_rescan):
+                pops = tuple(int(x) for x in header[:6])
+                self.page_stats.append(pops)
+                if any(p > cap for p, cap in zip(pops, self._caps())):
                     if page.shape[0] < 2:
                         raise RuntimeError(
                             "hit compaction overflow on a single query; "
@@ -335,7 +408,7 @@ class CompactIsslScorer:
 
 def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
               max_dist: int, rows_per_slice: int,
-              caps: tuple[int, int, int, int], interpret: bool):
+              caps: tuple, superchunk: int = 0, interpret: bool = False):
     """The compact engine's full device program for one query page:
     ``run(q_lo, q_hi, boff, blens, entries) -> (header, mit_sums,
     cfd_sums)``. Module-level so the multi-device path
@@ -345,16 +418,23 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    cap1, capm, capm2, capr = caps
+    cap1, capm, capsc, capsr, capm2, capr = normalize_caps(caps, 0)
     pam_ngg = float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX])
     nblk = -(-nchmax // 4)        # 8-row moment blocks, 4 chunks each
     nchd = 4 * nblk               # decode-side chunk-cell count
+    if superchunk:
+        nsc = -(-nchmax // superchunk)
+        nsb = -(-nsc // 4)        # 8-row superchunk blocks
+        nscd = 4 * nsb            # decode-side superchunk-cell count
+    else:
+        nsb = nscd = 0
 
     call = pl.pallas_call(
         functools.partial(
             _finder_kernel, chunk=chunk, qb=qb, nchmax=nchmax,
-            max_dist=max_dist, rows_per_slice=rows_per_slice),
-        out_shape=jax.ShapeDtypeStruct((S, B, 8 * (nblk + 1), qb),
+            max_dist=max_dist, rows_per_slice=rows_per_slice,
+            superchunk=superchunk),
+        out_shape=jax.ShapeDtypeStruct((S, B, 8 * (nblk + nsb + 1), qb),
                                        jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -364,7 +444,7 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
                              lambda s, v, *_: (s, v, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, 8 * (nblk + 1), qb),
+            out_specs=pl.BlockSpec((1, 1, 8 * (nblk + nsb + 1), qb),
                                    lambda s, v, *_: (s, v, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, 3, chunk // LANES, LANES), jnp.uint32),
@@ -473,15 +553,15 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
     def decode_score(q_lo, q_hi, qsp_flat, kout, boff, blens, entries):
         n = q_lo.shape[0]
         # packed layout: block b rows [2k, 2k+1] = (cnt, pos) of chunk
-        # 4b + k; block nblk rows 0/1 = bucket totals. Cells past the
-        # bucket's last chunk are all-zero and never flagged downstream.
-        # Slot totals come straight from the kernel's bucket-total rows —
-        # the full chunk-moment planes are only ever point-gathered (for
-        # multi-hit slots), never reduced or transposed whole, so decode
-        # prep stays O(page) even when buckets are hundreds of chunks
-        # deep (mouse-scale: nchd ~1900).
-        slot_cnt = kout[:, :, 8 * nblk, :].reshape(-1)
-        slot_pos = kout[:, :, 8 * nblk + 1, :].reshape(-1)
+        # 4b + k; blocks [nblk, nblk+nsb) = superchunk moments (when the
+        # tree level is on); block nblk+nsb rows 0/1 = bucket totals.
+        # Cells past the bucket's last chunk are all-zero and never
+        # flagged downstream. Slot totals come straight from the kernel's
+        # bucket-total rows — the full chunk-moment planes are only ever
+        # point-gathered, never reduced or transposed whole, so decode
+        # prep stays O(page) however deep the buckets are.
+        slot_cnt = kout[:, :, 8 * (nblk + nsb), :].reshape(-1)
+        slot_pos = kout[:, :, 8 * (nblk + nsb) + 1, :].reshape(-1)
 
         def unravel_slot(i):
             sl = i // (B * qb)
@@ -512,29 +592,87 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
             header = jnp.stack([n1] + [jnp.int32(0)] * 7)
             return header, mit_sums[:n], cfd_sums[:n]
 
-        # 2) multi-hit slots -> per-chunk cells: point-gather each
-        # flagged slot's (nchd,) chunk-moment vectors straight from the
-        # kernel output (capm x nchd elements — never a transpose or
-        # reduction of the full planes)
+        # 2) multi-hit slots expand down the moment tree. With the
+        # superchunk level on, each flagged slot point-gathers only its
+        # (nscd,) superchunk cells; single-hit superchunk cells resolve
+        # directly, and only multi-hit superchunk cells expand into their
+        # (superchunk,) chunk cells — O(sqrt(depth)) cells per slot.
+        # Without the level, slots gather their (nchd,) chunk cells
+        # directly. Either way the planes are never reduced or
+        # transposed whole.
         multi = slot_cnt >= 2.0
         nm = jnp.sum(multi.astype(jnp.int32))
         midx = _compact_indices(multi, capm)
         vm = (midx >= 0)[:, None]
         s2_, b2_, q2_ = unravel_slot(jnp.maximum(midx, 0))
-        chj = jnp.arange(nchd, dtype=jnp.int32)
-        rowc = 8 * (chj // 4) + 2 * (chj % 4)           # cnt row of chunk j
-        mc = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
-                                rowc[None, :], q2_[:, None]], 0.0)
-        mp = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
-                                rowc[None, :] + 1, q2_[:, None]], 0.0)
+        n_sc = n_sr = jnp.int32(0)
+        if superchunk:
+            scj = jnp.arange(nscd, dtype=jnp.int32)
+            rowsc = 8 * (nblk + scj // 4) + 2 * (scj % 4)
+            msc = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
+                                     rowsc[None, :], q2_[:, None]], 0.0)
+            msp = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
+                                     rowsc[None, :] + 1, q2_[:, None]], 0.0)
+            n_sc = jnp.sum((msc > 0).astype(jnp.int32))
+            scz = _compact_indices(msc.reshape(-1) > 0, capsc)
+            vsz = scz >= 0
+            srow = jnp.maximum(scz, 0) // nscd
+            s_sc = jnp.maximum(scz, 0) % nscd
+            sslot = jnp.maximum(midx[srow], 0)
+            scnt = msc.reshape(-1)[jnp.maximum(scz, 0)]
+            spos = msp.reshape(-1)[jnp.maximum(scz, 0)].astype(jnp.int32)
+            sS, sB, sQ = unravel_slot(sslot)
+            # single-hit superchunk cells: rank-sum IS the global rank
+            hqS = q_of(sslot)
+            qiS = jnp.minimum(hqS, n - 1)
+            cS1 = vsz & (scnt == 1.0) & (hqS < n)
+            loS, hiS, occS = gather_entries(entries,
+                                            boff[sS, sB] + spos, sS)
+            mS_, cS_ = pair_scores(q_lo[qiS], q_hi[qiS], loS, hiS,
+                                   occS, cS1)
+            hqS_eff = jnp.where(cS1, hqS, n)
+            mit_sums = mit_sums.at[hqS_eff].add(mS_)
+            cfd_sums = cfd_sums.at[hqS_eff].add(cS_)
+            # multi-hit superchunk cells -> their chunk cells
+            c2sc = vsz & (scnt >= 2.0)
+            n_sr = jnp.sum(c2sc.astype(jnp.int32))
+            sridx = _compact_indices(c2sc, capsr)
+            vsr = (sridx >= 0)[:, None]
+            sri = jnp.maximum(sridx, 0)
+            src_slot = sslot[sri]
+            sS2, sB2, sQ2 = sS[sri], sB[sri], sQ[sri]
+            ch = (s_sc[sri][:, None] * superchunk
+                  + jnp.arange(superchunk, dtype=jnp.int32)[None, :])
+            ch_ok = ch < nchd      # the last superchunk may overhang
+            chc = jnp.minimum(ch, nchd - 1)
+            rowc2 = 8 * (chc // 4) + 2 * (chc % 4)
+            mc = jnp.where(vsr & ch_ok,
+                           kout[sS2[:, None], sB2[:, None], rowc2,
+                                sQ2[:, None]], 0.0)
+            mp = jnp.where(vsr & ch_ok,
+                           kout[sS2[:, None], sB2[:, None], rowc2 + 1,
+                                sQ2[:, None]], 0.0)
+            width = superchunk
+            chfun = lambda mzc: ch.reshape(-1)[mzc]
+        else:
+            chj = jnp.arange(nchd, dtype=jnp.int32)
+            rowc = 8 * (chj // 4) + 2 * (chj % 4)   # cnt row of chunk j
+            mc = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
+                                    rowc[None, :], q2_[:, None]], 0.0)
+            mp = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
+                                    rowc[None, :] + 1, q2_[:, None]], 0.0)
+            src_slot = jnp.maximum(midx, 0)
+            width = nchd
+            chfun = lambda mzc: mzc % nchd
         nc = jnp.sum((mc > 0).astype(jnp.int32))
         mz = _compact_indices(mc.reshape(-1) > 0, capm2)
         vz = mz >= 0
-        mrow = jnp.maximum(mz, 0) // nchd
-        mchk = jnp.maximum(mz, 0) % nchd
-        mslot = jnp.maximum(midx[mrow], 0)
-        mcnt = mc.reshape(-1)[jnp.maximum(mz, 0)]
-        mpos = mp.reshape(-1)[jnp.maximum(mz, 0)].astype(jnp.int32)
+        mzc = jnp.maximum(mz, 0)
+        mrow = mzc // width
+        mchk = chfun(mzc)
+        mslot = src_slot[mrow]
+        mcnt = mc.reshape(-1)[mzc]
+        mpos = mp.reshape(-1)[mzc].astype(jnp.int32)
         sM, bM, _ = unravel_slot(mslot)
         hqM = q_of(mslot)
         qiM = jnp.minimum(hqM, n - 1)
@@ -545,7 +683,7 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
         mit_sums = mit_sums.at[hqM_eff].add(mM_)
         cfd_sums = cfd_sums.at[hqM_eff].add(cM_)
         if _STAGES < 3:
-            header = jnp.stack([n1, nm, nc] + [jnp.int32(0)] * 5)
+            header = jnp.stack([n1, nm, n_sc, n_sr, nc] + [jnp.int32(0)] * 3)
             return header, mit_sums[:n], cfd_sums[:n]
 
         # 3) multi-hit chunks: rescan-and-score all <=chunk entries
@@ -644,8 +782,7 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
         mit_sums = mit_sums.at[hqR].add(jnp.sum(mitR * vfR, axis=1))
         cfd_sums = cfd_sums.at[hqR].add(jnp.sum(cfdR * vfR, axis=1))
 
-        header = jnp.stack([n1, nm, nc, n2c,
-                            jnp.int32(0), jnp.int32(0),
+        header = jnp.stack([n1, nm, n_sc, n_sr, nc, n2c,
                             jnp.int32(0), jnp.int32(0)])
         return header, mit_sums[:n], cfd_sums[:n]
 

@@ -494,10 +494,12 @@ class ShardedCompactIsslScorer:
     def __init__(self, index: IsslIndex | None, mesh: Mesh,
                  max_dist: int | None = None, query_page: int = 65536,
                  chunk: int = 4096, qb_cap: int = 512, nz_cap: int = 1 << 17,
-                 caps: tuple[int, int, int, int] | None = None,
+                 caps: tuple | None = None,
+                 superchunk: int | None = None,
                  interpret: bool | None = None,
                  index_axes: tuple[str, ...] = ("shard",),
                  _local: dict | None = None):
+        from ..ops.issl_compact import normalize_caps
         from ..ops.issl_dense import ALIGN, LANES
 
         for a in index_axes:
@@ -511,11 +513,7 @@ class ShardedCompactIsslScorer:
         self.query_page = int(query_page)
         self.chunk = int(chunk)
         self.qb_cap = int(qb_cap)
-        if caps is not None:
-            self.caps = tuple(int(c) for c in caps)
-        else:
-            self.caps = (int(nz_cap), max(1024, int(nz_cap) // 2),
-                         max(2048, int(nz_cap)), max(1024, int(nz_cap) // 4))
+        self.caps = normalize_caps(caps, nz_cap)
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
@@ -548,6 +546,11 @@ class ShardedCompactIsslScorer:
                 f"bucket with {meta['maxblen']:,} entries exceeds the "
                 "moment decoder's 2^22 rank-exactness bound")
         self._nchmax = max(1, -(-meta["maxblen"] // self.chunk))
+        # global nchmax => same superchunk size on every shard/process
+        from ..ops.issl_compact import auto_superchunk
+
+        self.superchunk = (auto_superchunk(self._nchmax)
+                           if superchunk is None else int(superchunk))
         self.S = meta["slice_count"]
         self.B = 1 << meta["slice_width"]
         self.slice_width = meta["slice_width"]
@@ -558,7 +561,7 @@ class ShardedCompactIsslScorer:
         self.entries = put(stacked["entries"], spec)       # (K, 3, rows, 128)
         self.bucket_offsets = put(stacked["bucket_offsets"], spec)
         self.bucket_lens = put(stacked["bucket_lens"], spec)
-        self.page_stats: list[tuple[int, int, int, int]] = []
+        self.page_stats: list[tuple[int, ...]] = []
         self._steps: dict[int, callable] = {}
 
     @classmethod
@@ -567,7 +570,8 @@ class ShardedCompactIsslScorer:
                           max_dist: int | None = None,
                           query_page: int = 65536, chunk: int = 4096,
                           qb_cap: int = 512, nz_cap: int = 1 << 17,
-                          caps: tuple[int, int, int, int] | None = None,
+                          caps: tuple | None = None,
+                          superchunk: int | None = None,
                           interpret: bool | None = None,
                           index_axes: tuple[str, ...] = ("host", "shard")):
         """Multi-host construction from this process's own site-range
@@ -600,7 +604,8 @@ class ShardedCompactIsslScorer:
                     max_dist=s0.max_dist, maxblen=global_maxblen)
         return cls(None, mesh, max_dist=max_dist, query_page=query_page,
                    chunk=chunk, qb_cap=qb_cap, nz_cap=nz_cap, caps=caps,
-                   interpret=interpret, index_axes=index_axes,
+                   superchunk=superchunk, interpret=interpret,
+                   index_axes=index_axes,
                    _local=dict(stacked=stacked, meta=meta))
 
     def _get_step(self, qb: int):
@@ -611,7 +616,8 @@ class ShardedCompactIsslScorer:
         run = build_run(S=self.S, B=self.B, nchmax=self._nchmax,
                         chunk=self.chunk, qb=qb, max_dist=self.max_dist,
                         rows_per_slice=self._rows_per_slice,
-                        caps=self.caps, interpret=self.interpret)
+                        caps=self.caps, superchunk=self.superchunk,
+                        interpret=self.interpret)
         index_axes = self.index_axes
 
         def per_device(q_lo, q_hi, boff, blens, entries):
@@ -672,7 +678,6 @@ class ShardedCompactIsslScorer:
         for i in range(0, n, self.query_page):
             dispatch(i, sigs[i:i + self.query_page])
 
-        cap1, capm, capm2, capr = self.caps
         while pending:
             if jax.process_count() == 1:
                 fetched = jax.device_get([o for _, _, o in pending])
@@ -683,9 +688,9 @@ class ShardedCompactIsslScorer:
             for (lo_idx, page, _), (header, m, c) in zip(pending, fetched):
                 # per-'q'-group headers stack along axis 0: take the max
                 hdr = np.asarray(header).reshape(-1, 8).max(axis=0)
-                n1, nm, nc, n2c = (int(x) for x in hdr[:4])
-                self.page_stats.append((n1, nm, nc, n2c))
-                if n1 > cap1 or nm > capm or nc > capm2 or n2c > capr:
+                pops = tuple(int(x) for x in hdr[:6])
+                self.page_stats.append(pops)
+                if any(p > cap for p, cap in zip(pops, self.caps)):
                     if page.shape[0] < 2:
                         raise RuntimeError(
                             "hit compaction overflow on a single query; "

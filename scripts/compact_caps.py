@@ -60,8 +60,8 @@ def main():
             dt = min(dt, time.time() - t0)
         stats = np.array(sc.page_stats[:1])  # first (only) page
         rec = {"tag": tag, "page": args.page,
-               "caps": [sc.cap_single, sc.cap_mslot, sc.cap_mcell,
-                        sc.cap_rescan],
+               "caps": list(sc._caps()),
+               "superchunk": sc.superchunk,
                "pops": stats[0].tolist(),
                "t_s": round(dt, 4),
                "guides_per_s": round(args.page / dt, 1)}
@@ -70,14 +70,15 @@ def main():
         return rec
 
     base = timed("default")
-    n1, nm, nc, n2c = base["pops"]
-    log(f"populations: single={n1} mslot={nm} mcell={nc} rescan={n2c}")
+    n1, nm, nsc, nsr, nc, n2c = base["pops"]
+    log(f"populations: single={n1} mslot={nm} scell={nsc} sresc={nsr} "
+        f"mcell={nc} rescan={n2c}")
 
     # tight variant: ~2x headroom over measured, rounded up to 1K
     def up(x):
         return max(1024, int(-(-2 * x // 1024)) * 1024)
 
-    tight = (up(n1), up(nm), up(nc), up(n2c))
+    tight = tuple(up(p) for p in base["pops"])
     timed("tight-2x", caps=tight)
     timed("tight-4x", caps=tuple(2 * c for c in tight))
 

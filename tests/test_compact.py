@@ -101,3 +101,74 @@ def test_hybrid_with_compact_verdicts(data):
         np.testing.assert_array_equal(
             verdicts(mit, cfd, thr, method),
             verdicts(ref_mit, ref_cfd, thr, method))
+
+
+@pytest.fixture(scope="module")
+def deep_data():
+    """A deep bucket (3 chunks at chunk=1024) with clustered hits, to
+    exercise the superchunk tree level of the decode: slice-0 value
+    pinned so ~2.4K sites share one bucket; queries are cluster bases
+    whose variants scatter across the bucket's rank range."""
+    rng = np.random.default_rng(23)
+    low = np.uint64(0x55)
+
+    def pin(sigs):
+        return (sigs & ~np.uint64(0xFF)) | low
+
+    base = pin(rng.integers(0, 1 << 40, size=48).astype(np.uint64))
+    variants = []
+    for sig in base:
+        for _ in range(64):
+            v = np.uint64(sig)
+            for pos in rng.integers(4, 20, size=int(rng.integers(1, 3))):
+                v = ((v & ~(np.uint64(3) << np.uint64(2 * pos)))
+                     | (np.uint64(rng.integers(0, 4)) << np.uint64(2 * pos)))
+            variants.append(v)
+    filler = rng.integers(0, 1 << 40, size=300).astype(np.uint64)
+    sites = np.concatenate([base, np.array(variants, np.uint64), filler])
+    index = build_index(sites)
+    queries = np.concatenate([
+        base[:12],                     # many scattered hits in the deep bucket
+        filler[:6],                    # single hits elsewhere
+        rng.integers(0, 1 << 40, 6).astype(np.uint64),
+    ])
+    return index, queries
+
+
+def test_superchunk_tree_vs_bruteforce(deep_data):
+    index, queries = deep_data
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+    sc = CompactIsslScorer(index, max_dist=4, query_page=32, chunk=1024,
+                           superchunk=2, interpret=True)
+    assert sc._nchmax >= 3          # the deep bucket really spans chunks
+    mit, cfd = sc.score_sums(queries)
+    np.testing.assert_allclose(mit, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
+    # every tree stage must actually fire (populations in the header)
+    pops = np.array(sc.page_stats).max(axis=0)
+    assert pops[1] > 0, "no multi-hit slots"
+    assert pops[2] > 0, "no nonzero superchunk cells"
+    assert pops[3] > 0, "no multi-hit superchunk cells"
+    assert pops[4] > 0, "no nonzero chunk cells"
+
+    # the flat (no-tree) decode must agree with the tree decode
+    flat = CompactIsslScorer(index, max_dist=4, query_page=32, chunk=1024,
+                             superchunk=0, interpret=True)
+    m0, c0 = flat.score_sums(queries)
+    np.testing.assert_allclose(mit, m0, rtol=1e-6)
+    np.testing.assert_allclose(cfd, c0, rtol=1e-6)
+
+
+def test_superchunk_overflow_splits_pages(deep_data):
+    """Superchunk-level cap overflow must split the page and retry."""
+    index, queries = deep_data
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+    caps = (1 << 17, 1 << 16, 8, 4, 1 << 17, 1 << 15)  # tiny sc caps
+    sc = CompactIsslScorer(index, max_dist=4, query_page=32, chunk=1024,
+                           superchunk=2, caps=caps, interpret=True)
+    mit, cfd = sc.score_sums(queries)
+    assert len(sc.page_stats) > 1   # at least one split happened
+    np.testing.assert_allclose(mit, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
