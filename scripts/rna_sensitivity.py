@@ -17,7 +17,15 @@ offset — derived tables (terminal mismatches, int11/21/22 defaults)
 rebuild from the perturbed sources, so the error propagates exactly the
 way a reconstruction error would. Per draw we record the MFE shift
 distribution and the verdict flip rate through the full
-SecondaryStructureGate (structure regex + thresholds included).
+SecondaryStructureGate (structure regex + thresholds included), and
+decompose the verdict pathway (VERDICT r3 item 7): the reference routes
+a construct through the -30 threshold when the canonical-scaffold
+structure regex matches and through the -18 threshold otherwise
+(Crackling.py:481-497), so a perturbation can flip a verdict two ways —
+by moving the energy across its threshold, or by changing the PREDICTED
+STRUCTURE enough to change which regex path applies. Both rates are
+recorded separately (``..._via_energy`` / ``..._via_regex``), along with
+the raw structure-string change rate and the canonical-match flip rate.
 
 Output: one JSON line; appended to scripts/rna_sensitivity_results.jsonl.
 PARITY.md Tier 3 carries the headline numbers.
@@ -67,10 +75,14 @@ def perturb_sources(rp, rng, delta):
 
 
 def run_study(targets, deltas, draws, backend="native", seed=7):
+    import re
+
     import crackling_tpu.ops.rna_params as rp
+    from crackling_tpu.constants import PATTERN_RNA_STRUCTURE
     from crackling_tpu.pipeline.secondary_structure import \
         SecondaryStructureGate
 
+    pat = re.compile(PATTERN_RNA_STRUCTURE)
     saved = {k: copy.deepcopy(getattr(rp, k))
              for k in ("_DANGLE5", "_DANGLE3", "_MM_BONUS",
                        "TETRALOOP_BONUS")}
@@ -85,25 +97,38 @@ def run_study(targets, deltas, draws, backend="native", seed=7):
         gate = SecondaryStructureGate(backend=backend)
         out = gate.assess(targets)
         e = np.array([float(x) if x else np.nan for x in out["ssEnergy"]])
-        return out["verdict"].copy(), e
+        s = out["ssStructure"].copy()
+        # which regex path the verdict took: canonical-scaffold match
+        # (-30 threshold) vs fallback (-18), Crackling.py:481-497
+        canon = np.array([
+            bool(pat.search(f"{st} ({et})")) if st else False
+            for st, et in zip(s, out["ssEnergy"])])
+        return out["verdict"].copy(), e, s, canon
 
     try:
         restore()
-        v0, e0 = fold_all()
+        v0, e0, s0, c0 = fold_all()
         log(f"baseline: {np.nanmin(e0):.1f}..{np.nanmax(e0):.1f} kcal, "
-            f"{(v0 == '1').mean():.3f} accepted")
+            f"{(v0 == '1').mean():.3f} accepted, "
+            f"{c0.mean():.3f} canonical-structure")
         rng = np.random.default_rng(seed)
         results = []
         for delta in deltas:
             flips, de_p95s, de_maxs = [], [], []
+            s_changes, c_flips, f_regex, f_energy = [], [], [], []
             for d in range(draws):
                 restore()
                 perturb_sources(rp, rng, delta)
-                v, e = fold_all()
+                v, e, s, c = fold_all()
                 de = np.abs(e - e0)
-                flips.append(float((v != v0).mean()))
+                flipped = v != v0
+                flips.append(float(flipped.mean()))
                 de_p95s.append(float(np.nanpercentile(de, 95)))
                 de_maxs.append(float(np.nanmax(de)))
+                s_changes.append(float((s != s0).mean()))
+                c_flips.append(float((c != c0).mean()))
+                f_regex.append(float((flipped & (c != c0)).mean()))
+                f_energy.append(float((flipped & (c == c0)).mean()))
             # constructs whose baseline energy sits within the observed
             # max shift of a threshold — the at-risk band
             shift = max(de_maxs)
@@ -118,6 +143,16 @@ def run_study(targets, deltas, draws, backend="native", seed=7):
                 "mfe_shift_max_kcal": round(shift, 3),
                 "verdict_flip_rate_mean": round(float(np.mean(flips)), 4),
                 "verdict_flip_rate_max": round(float(np.max(flips)), 4),
+                "structure_change_rate_mean": round(
+                    float(np.mean(s_changes)), 4),
+                "canonical_regex_flip_rate_mean": round(
+                    float(np.mean(c_flips)), 4),
+                "canonical_regex_flip_rate_max": round(
+                    float(np.max(c_flips)), 4),
+                "verdict_flips_via_regex_mean": round(
+                    float(np.mean(f_regex)), 4),
+                "verdict_flips_via_energy_mean": round(
+                    float(np.mean(f_energy)), 4),
                 "at_risk_fraction": round(at_risk, 4),
             }
             log(json.dumps(rec))
