@@ -120,6 +120,59 @@ class Pipeline:
         if config_mngr._parser.has_section("tpu"):
             profile_dir = config_mngr["tpu"].get("profile-dir", None)
         self.metrics = Metrics(profile_dir=profile_dir or None)
+        self._maybe_init_distributed()
+
+    def _maybe_init_distributed(self):
+        """``[tpu]`` multihost keys -> ``jax.distributed``.
+
+        Keys (all optional; absent => single-process, the default):
+
+        * ``coordinator-address`` — ``host:port`` of process 0
+        * ``process-count`` — world size (> 1 enables multihost)
+        * ``process-id`` — this process's id; falls back to the
+          ``CRACKLING_PROCESS_ID`` env var so every host can share one
+          config file
+        * ``cpu-devices`` — dev/test mode: N virtual CPU devices per
+          process instead of the real TPU backend
+        * ``mesh-q`` — query axis size of the ('host','q','shard') mesh
+          used by ``engine = sharded``
+
+        Every process runs the identical pipeline on the identical
+        inputs (give each a distinct ``[output] dir``); the ISSL scoring
+        stage is the collective part — each host loads only its own
+        site ranges and the per-query partial sums psum across hosts, so
+        all processes emit identical scores. Must run before any other
+        jax use in the process (jax.distributed contract)."""
+        tpu = self.cm["tpu"]
+        count = int(tpu.get("process-count", "") or "1")
+        cpu_devices = tpu.get("cpu-devices", "") or None
+        if count <= 1:
+            if cpu_devices:
+                # dev/test: force the CPU backend with N virtual devices
+                # (the JAX_PLATFORMS env var is ignored by some builds;
+                # config flags work everywhere)
+                import jax
+
+                jax.config.update("jax_platforms", "cpu")
+                jax.config.update("jax_num_cpu_devices", int(cpu_devices))
+            return
+        addr = tpu.get("coordinator-address", "") or ""
+        if not addr:
+            raise ValueError(
+                "[tpu] process-count > 1 requires coordinator-address")
+        pid = tpu.get("process-id", "") or os.environ.get(
+            "CRACKLING_PROCESS_ID", "")
+        if pid == "":
+            raise ValueError("[tpu] process-id (or the CRACKLING_PROCESS_ID "
+                             "env var) is required when process-count > 1")
+        from ..parallel import distributed as dist
+
+        dist.initialize(addr, count, int(pid),
+                        cpu_devices=int(cpu_devices) if cpu_devices else None)
+        import jax
+
+        printer(f"jax.distributed: process {jax.process_index()} of "
+                f"{jax.process_count()} ({len(jax.devices())} devices)")
 
     # -- gating ---------------------------------------------------------
 
@@ -389,27 +442,46 @@ class Pipeline:
                 threshold=float(cm["offtargetscore"]["score-threshold"]),
                 dense=fast)
         elif engine == "sharded":
-            # fastest engine spread over every local device: site-range
-            # index shards + one psum of the per-query partial sums, with
-            # the hybrid's bit-exact near-threshold re-score on top.
-            # Compact program per shard; dense fallback past the compact
-            # decoder's bucket-depth bound.
+            # fastest engine spread over every device: site-range index
+            # shards + one psum of the per-query partial sums, with the
+            # hybrid's bit-exact near-threshold re-score on top. Compact
+            # program per shard; dense fallback past the compact
+            # decoder's bucket-depth bound. With [tpu] process-count > 1
+            # (multihost), each process loads only its own site ranges
+            # from the .issl file and the psum crosses hosts over DCN.
             import jax
 
             from ..ops.issl_dense import HybridIsslScorer
-            from ..parallel.sharded import (ShardedCompactIsslScorer,
-                                            ShardedDenseIsslScorer,
-                                            make_mesh)
 
-            n_dev = len(jax.devices())
-            mesh = make_mesh(n_shards=n_dev, n_q=1)
             md = int(cm["offtargetscore"]["max-distance"])
-            try:
-                fast = ShardedCompactIsslScorer(index, mesh, max_dist=md)
-            except ValueError as e:
-                printer(f"sharded compact unavailable ({e}); using the "
-                        "sharded dense engine")
-                fast = ShardedDenseIsslScorer(index, mesh, max_dist=md)
+            if jax.process_count() > 1:
+                from ..parallel.distributed import (host_mesh,
+                                                    multihost_fast_scorer)
+
+                if not path.endswith(".issl"):
+                    raise ValueError(
+                        "[tpu] engine = sharded across processes requires "
+                        "the offtarget-sites input to be a reference-"
+                        "format .issl file (per-process site-range "
+                        "loading)")
+                n_q = int(cm["tpu"].get("mesh-q", "") or "1")
+                mesh = host_mesh(n_q=n_q)
+                printer(f"multihost mesh: {dict(mesh.shape)}")
+                fast = multihost_fast_scorer(path, mesh, max_dist=md)
+            else:
+                from ..parallel.sharded import (ShardedCompactIsslScorer,
+                                                ShardedDenseIsslScorer,
+                                                make_mesh)
+
+                n_dev = len(jax.devices())
+                mesh = make_mesh(n_shards=n_dev, n_q=1)
+                try:
+                    fast = ShardedCompactIsslScorer(index, mesh,
+                                                    max_dist=md)
+                except ValueError as e:
+                    printer(f"sharded compact unavailable ({e}); using "
+                            "the sharded dense engine")
+                    fast = ShardedDenseIsslScorer(index, mesh, max_dist=md)
             self._issl_scorer = HybridIsslScorer(
                 index, max_dist=md, method=method,
                 threshold=float(cm["offtargetscore"]["score-threshold"]),

@@ -107,8 +107,16 @@ def main():
     ap.add_argument("--pool-mbp", type=int, default=600)
     ap.add_argument("--queries", type=int, default=16384)
     ap.add_argument("--ref-queries", type=int, default=512)
-    ap.add_argument("--engine", choices=("pallas", "dense", "compact"),
-                    default="pallas")
+    ap.add_argument("--engine",
+                    choices=("pallas", "dense", "compact", "hybrid"),
+                    default="pallas",
+                    help="hybrid = the pipeline path: engine=auto's "
+                         "depth-aware compact/dense pick wrapped in the "
+                         "bit-exact near-threshold re-score")
+    ap.add_argument("--method", default="and",
+                    choices=("mit", "cfd", "and", "or", "avg"),
+                    help="scoring method for our engine, the reference "
+                         "binary, and the verdict comparison")
     ap.add_argument("--ref-repeats", type=int, default=3,
                     help="best-of-N repeats for each reference timing run "
                          "(drop to 1-2 at mouse/human depth, where one "
@@ -133,7 +141,7 @@ def main():
 
     make_genome(genome, args.gbp, args.pool_mbp)
     results = {"genome_gbp": args.gbp, "pool_mbp": args.pool_mbp,
-               "engine": args.engine}
+               "engine": args.engine, "method": args.method}
 
     if not sites.exists():
         dt, rss = timed_cli(
@@ -185,6 +193,26 @@ def main():
     elif args.engine == "compact":
         from crackling_tpu.ops.issl_compact import \
             CompactIsslScorer as Engine
+    elif args.engine == "hybrid":
+        # the pipeline path: engine=auto's depth-aware fast-engine pick
+        # wrapped in HybridIsslScorer's near-threshold bit-exact re-score
+        # (what `[tpu] engine = auto` actually runs)
+        from crackling_tpu.ops.issl_compact import CompactIsslScorer
+        from crackling_tpu.ops.issl_dense import (DenseIsslScorer,
+                                                  HybridIsslScorer)
+        from crackling_tpu.pipeline.run import select_auto_engine
+
+        fast_name = select_auto_engine(index, jax.default_backend())
+        log(f"hybrid fast path: {fast_name}")
+        results["hybrid_fast"] = fast_name
+        fast_cls = (CompactIsslScorer if fast_name == "compact"
+                    else DenseIsslScorer)
+
+        def Engine(index, max_dist):
+            return HybridIsslScorer(index, max_dist=max_dist,
+                                    method=args.method, threshold=75.0,
+                                    dense=fast_cls(index,
+                                                   max_dist=max_dist))
     else:
         from crackling_tpu.ops.issl_pallas import PallasIsslScorer as Engine
 
@@ -230,14 +258,15 @@ def main():
         for _ in range(repeats):
             t0 = time.time()
             res = subprocess.run(
-                [str(refbin), str(issl), str(qf), "4", "75", "and"],
+                [str(refbin), str(issl), str(qf), "4", "75", args.method],
                 check=True, capture_output=True, text=True)
             dt = time.time() - t0
             if dt < best:
                 best, out = dt, res.stdout
         return best, out
 
-    refout = DATA / f"{tag}.refout{n_ref}.txt"
+    msuf = "" if args.method == "and" else f".{args.method}"
+    refout = DATA / f"{tag}.refout{n_ref}{msuf}.txt"
     results_path = ROOT / "scripts" / "scale_rung_results.jsonl"
     cached_rate = None
     if args.reuse_ref and results_path.exists():
@@ -245,6 +274,7 @@ def main():
             rec = json.loads(line)
             if (rec.get("genome_gbp") == args.gbp
                     and rec.get("ref_queries") == n_ref
+                    and rec.get("method", "and") == args.method
                     and "ref_guides_per_s" in rec):
                 cached_rate = rec["ref_guides_per_s"]
     if cached_rate is not None:
@@ -270,13 +300,15 @@ def main():
     # parity at scale: full-scan engines report complete sums where the
     # reference freezes early-exit partials for REJECTED guides (PARITY
     # Tier 3), so measure verdict agreement plus accepted-score agreement
+    from crackling_tpu.ops.issl_jax import verdicts
+
     lines = out1.strip().split("\n")
     ref_mit = np.array([float(l.split("\t")[1]) for l in lines])
     ref_cfd = np.array([float(l.split("\t")[2]) for l in lines])
     our_mit = mit[: len(ref_mit)]
     our_cfd = cfd[: len(ref_mit)]
-    ref_ok = (ref_mit >= 75) & (ref_cfd >= 75)
-    our_ok = (our_mit >= 75) & (our_cfd >= 75)
+    ref_ok = verdicts(ref_mit, ref_cfd, 75.0, args.method)
+    our_ok = verdicts(our_mit, our_cfd, 75.0, args.method)
     verdict_agree = float(np.mean(ref_ok == our_ok))
     acc = ref_ok & our_ok
     score_agree = float(np.mean(
