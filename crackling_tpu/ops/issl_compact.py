@@ -30,10 +30,10 @@ a tiny fraction of pairs on real indexes. This engine splits the work:
   round-3 collapse: a 64K-slot page at ~1,000-chunk depth gathered
   ~250M chunk cells; the tree gathers ~4M). Shallow indexes skip the
   level (identical to the two-level decode). Single-hit cells resolve
-  directly; multi-hit chunks are **rescanned inline**: their <=4096
-  packed entries are gathered, the hit predicate and per-pair MIT/CFD
-  are evaluated elementwise and row-summed (no hit extraction at all,
-  so no large nonzero) —
+  directly; multi-hit chunks are **rescanned**: their <=4096 packed
+  entries are gathered and the (cheap) hit predicate is evaluated
+  elementwise, then the surviving hit coordinates are compacted and
+  only those pairs get the full MIT/CFD arithmetic —
   followed by sparse scoring of the point hits: the mismatch mask is
   recomputed from the packed signatures, MIT uses the closed form
   (isslCreateIndex.cpp:93-118), CFD the exact 320-entry penalty-table
@@ -87,20 +87,24 @@ def auto_superchunk(nchmax: int) -> int:
 
 
 def normalize_caps(caps, nz_cap: int):
-    """Six compaction capacities (single-hit slots, multi-hit slots,
+    """Seven compaction capacities (single-hit slots, multi-hit slots,
     nonzero superchunk cells, multi-hit superchunk cells, nonzero chunk
-    cells, multi-hit chunks). Legacy 4-tuples (pre-superchunk) map their
-    cell/rescan caps onto the superchunk level."""
+    cells, multi-hit chunks, rescan hits). Legacy 4-tuples
+    (pre-superchunk) map their cell/rescan caps onto the superchunk
+    level; 6-tuples (pre-hit-compaction) derive the hit cap from the
+    rescan cap."""
     if caps is None:
         nz = int(nz_cap)
-        return (nz, max(1024, nz // 2), max(2048, nz),
+        caps = (nz, max(1024, nz // 2), max(2048, nz),
                 max(1024, nz // 4), max(2048, nz), max(1024, nz // 4))
     caps = tuple(int(c) for c in caps)
     if len(caps) == 4:
         c1, cm, c2, cr = caps
-        return (c1, cm, c2, cr, c2, cr)
-    if len(caps) != 6:
-        raise ValueError("caps must have 4 (legacy) or 6 entries")
+        caps = (c1, cm, c2, cr, c2, cr)
+    if len(caps) == 6:
+        caps = caps + (4 * caps[5],)
+    if len(caps) != 7:
+        raise ValueError("caps must have 4/6 (legacy) or 7 entries")
     return caps
 
 
@@ -292,12 +296,14 @@ class CompactIsslScorer:
         self.qb_cap = int(qb_cap)
         # compaction capacities (page splits in half on overflow): every
         # decode gather/score runs at cap size, so these are kept ~2x the
-        # bench-measured populations per 64K-query page; ``caps`` pins all
-        # six (single-hit slots, multi-hit slots, nonzero superchunk
-        # cells, multi-hit superchunk cells, nonzero chunk cells,
-        # multi-hit chunks) explicitly — see scripts/compact_caps.py
+        # bench-measured populations per 64K-query page; ``caps`` pins
+        # all seven (single-hit slots, multi-hit slots, nonzero
+        # superchunk cells, multi-hit superchunk cells, nonzero chunk
+        # cells, multi-hit chunks, rescan hits) explicitly — see
+        # scripts/compact_caps.py
         (self.cap_single, self.cap_mslot, self.cap_scell, self.cap_sresc,
-         self.cap_mcell, self.cap_rescan) = normalize_caps(caps, nz_cap)
+         self.cap_mcell, self.cap_rescan,
+         self.cap_hits) = normalize_caps(caps, nz_cap)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -334,7 +340,8 @@ class CompactIsslScorer:
 
     def _caps(self):
         return (self.cap_single, self.cap_mslot, self.cap_scell,
-                self.cap_sresc, self.cap_mcell, self.cap_rescan)
+                self.cap_sresc, self.cap_mcell, self.cap_rescan,
+                self.cap_hits)
 
     def _get_run(self, qb: int):
         if qb in self._runs:
@@ -382,7 +389,7 @@ class CompactIsslScorer:
             fetched = jax.device_get([o for _, _, o in pending])
             retry = []
             for (lo_idx, page, _), (header, m, c) in zip(pending, fetched):
-                pops = tuple(int(x) for x in header[:6])
+                pops = tuple(int(x) for x in header[:7])
                 self.page_stats.append(pops)
                 if any(p > cap for p, cap in zip(pops, self._caps())):
                     if page.shape[0] < 2:
@@ -418,7 +425,7 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    cap1, capm, capsc, capsr, capm2, capr = normalize_caps(caps, 0)
+    cap1, capm, capsc, capsr, capm2, capr, caph = normalize_caps(caps, 0)
     pam_ngg = float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX])
     nblk = -(-nchmax // 4)        # 8-row moment blocks, 4 chunks each
     nchd = 4 * nblk               # decode-side chunk-cell count
@@ -686,12 +693,9 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
             header = jnp.stack([n1, nm, n_sc, n_sr, nc] + [jnp.int32(0)] * 3)
             return header, mit_sums[:n], cfd_sums[:n]
 
-        # 3) multi-hit chunks: rescan-and-score all <=chunk entries
-        # inline (elementwise + row sum; no hit extraction). All
-        # per-pair arithmetic works on the collapsed XOR words
-        # directly — no 20-bit mask packing — and CFD selects from a
-        # per-ROW penalty table (the query is fixed per row), so the
-        # only pair-level table op is a 4-way select.
+        # 3a) multi-hit chunks: gather their <=chunk packed entries and
+        # evaluate just the HIT PREDICATE elementwise (XOR, popcount,
+        # SWAR dedup — ~10 vector ops/pair vs ~60 for full scores).
         c2 = vz & (mcnt >= 2.0)
         n2c = jnp.sum(c2.astype(jnp.int32))
         ridx = _compact_indices(c2, capr)
@@ -706,7 +710,8 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
                                          dtype=jnp.int32)[None, :]
         e_lo = entries[0][rr].reshape(-1, chunk)   # (capr, chunk)
         e_hi = entries[1][rr].reshape(-1, chunk)
-        e_occ = entries[2][rr].reshape(-1, chunk)
+        # occurrences are NOT gathered here: stage 3b reads them
+        # pointwise for the compacted hits only
         cols = jnp.arange(chunk, dtype=jnp.int32)[None, :]
         q_lo_r = q_lo[rq][:, None]
         q_hi_r = q_hi[rq][:, None]
@@ -728,62 +733,29 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
         in_chunk = cols < (blens[rs, rb] - mchk[ri] * chunk)[:, None]
         rvalid = ((distR <= max_dist) & ~seenR & in_chunk
                   & rq_valid[:, None])
-        # MIT closed form from the collapsed words
-        lo_i = c_lo.astype(jnp.int32)
-        hi_i = c_hi.astype(jnp.int32)
-        ctz_lo = jax.lax.population_count(~lo_i & (lo_i - 1))
-        ctz_hi = jax.lax.population_count(~hi_i & (hi_i - 1))
-        firstR = jnp.where(lo_i != 0, ctz_lo >> 1, 16 + (ctz_hi >> 1))
-        lastR = jnp.where(
-            hi_i != 0,
-            16 + ((31 - jax.lax.clz(jnp.maximum(hi_i, 1))) >> 1),
-            (31 - jax.lax.clz(jnp.maximum(lo_i, 1))) >> 1)
-        mR = distR.astype(jnp.float32)
-        mdR = jnp.maximum(mR - 1.0, 1.0)
-        uR = jnp.where(distR == 1, jnp.float32(19.0),
-                       (lastR - firstR).astype(jnp.float32))
-        mit_logR = jnp.zeros_like(mR)
-        for p_ in range(16):
-            mit_logR += jnp.where((c_lo >> (2 * p_)) & 1,
-                                  mitl_pos[p_], 0.0)
-        for p_ in range(4):
-            mit_logR += jnp.where((c_hi >> (2 * p_)) & 1,
-                                  mitl_pos[16 + p_], 0.0)
-        denR = (95.0 * mdR - 4.0 * uR) * jnp.maximum(mR * mR, 1.0)
-        mitR = jnp.where(distR > 0,
-                         jnp.exp2(mit_logR) * (1900.0 * mdR) / denR,
-                         0.0)
-        # CFD: per-row (20, 4) penalty table with 1.0 baked at the
-        # matching base, then a 4-way select per (pair, position)
-        p20 = jnp.arange(20, dtype=jnp.uint32)
-        shq = (2 * p20) % 32
-        qword = jnp.where(p20[None, :] >= 16, q_hi[rq][:, None],
-                          q_lo[rq][:, None])
-        rcodes = ((qword >> shq[None, :]) & 3).astype(jnp.int32)
-        b4 = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-        pidx = (rcodes[:, :, None] << 2) | (b4 ^ 3)
-        rpen = jnp.asarray(pen_tab)[
-            jnp.arange(20, dtype=jnp.int32)[None, :, None], pidx]
-        rpen = jnp.where(b4 == rcodes[:, :, None], 1.0, rpen)
-        cfdR = jnp.full_like(mR, pam_ngg)
-        for p_ in range(20):
-            eword = e_hi if p_ >= 16 else e_lo
-            ob = ((eword >> ((2 * p_) % 32)) & 3).astype(jnp.int32)
-            t0 = rpen[:, p_, 0][:, None]
-            t1 = rpen[:, p_, 1][:, None]
-            t2 = rpen[:, p_, 2][:, None]
-            t3 = rpen[:, p_, 3][:, None]
-            pen = jnp.where(ob < 2, jnp.where(ob == 0, t0, t1),
-                            jnp.where(ob == 2, t2, t3))
-            cfdR = cfdR * pen
-        cfdR = jnp.where(distR == 0, 1.0, cfdR)
-        vfR = jnp.where(rvalid, e_occ.astype(jnp.float32), 0.0)
-        hqR = jnp.where(rq_valid, q_of(mslot[ri]), n)
-        mit_sums = mit_sums.at[hqR].add(jnp.sum(mitR * vfR, axis=1))
-        cfd_sums = cfd_sums.at[hqR].add(jnp.sum(cfdR * vfR, axis=1))
+        # 3b) hits are sparse within the rescanned pairs (each multi-hit
+        # chunk carries a handful among its `chunk` entries), so compact
+        # the hit coordinates and score only those pointwise — the full
+        # MIT/CFD arithmetic runs on ~caph pairs instead of capr x chunk
+        hitflat = rvalid.reshape(-1)
+        n3 = jnp.sum(hitflat.astype(jnp.int32))
+        hidx = _compact_indices(hitflat, caph)
+        vh = hidx >= 0
+        hrow = jnp.maximum(hidx, 0) // chunk
+        hcol = jnp.maximum(hidx, 0) % chunk
+        hs = rs[hrow]
+        hq_raw = q_of(mslot[ri][hrow])
+        hq = jnp.where(vh, hq_raw, n)
+        hqi = jnp.minimum(hq, n - 1)
+        flatpos = start[hrow] + hcol
+        loH, hiH, occH = gather_entries(entries, flatpos, hs)
+        mH_, cH_ = pair_scores(q_lo[hqi], q_hi[hqi], loH, hiH, occH,
+                               vh & (hq < n))
+        mit_sums = mit_sums.at[hq].add(mH_)
+        cfd_sums = cfd_sums.at[hq].add(cH_)
 
-        header = jnp.stack([n1, nm, n_sc, n_sr, nc, n2c,
-                            jnp.int32(0), jnp.int32(0)])
+        header = jnp.stack([n1, nm, n_sc, n_sr, nc, n2c, n3,
+                            jnp.int32(0)])
         return header, mit_sums[:n], cfd_sums[:n]
 
     def run(q_lo, q_hi, boff, blens, entries):

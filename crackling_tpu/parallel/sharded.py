@@ -688,7 +688,7 @@ class ShardedCompactIsslScorer:
             for (lo_idx, page, _), (header, m, c) in zip(pending, fetched):
                 # per-'q'-group headers stack along axis 0: take the max
                 hdr = np.asarray(header).reshape(-1, 8).max(axis=0)
-                pops = tuple(int(x) for x in hdr[:6])
+                pops = tuple(int(x) for x in hdr[:7])
                 self.page_stats.append(pops)
                 if any(p > cap for p, cap in zip(pops, self.caps)):
                     if page.shape[0] < 2:

@@ -8,8 +8,9 @@ for safety; this script measures the real populations at the bench
 operating point and times tightened variants, so the defaults can sit
 ~2x above the observed populations instead of ~10x.
 
-Usage: python scripts/compact_caps.py [--page 65536] [--caps N N N N ...]
-Appends one JSON line per configuration to
+Usage: python scripts/compact_caps.py [--page 65536] [--gbp 2.6]
+(--gbp loads a scale-rung index, bench_data/scale/, instead of the
+bench index). Appends one JSON line per configuration to
 scripts/compact_caps_results.jsonl.
 """
 
@@ -23,6 +24,7 @@ import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "scripts"))
 
 
 def log(msg):
@@ -33,14 +35,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--page", type=int, default=65536)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--gbp", type=float, default=None,
+                    help="measure on a scale-rung index (e.g. 2.6 = the "
+                         "mouse rung) instead of the bench index; queries "
+                         "are the rung's own candidate guides")
     args = ap.parse_args()
 
-    from bench import ensure_dataset
     from crackling_tpu.codec import strings_to_sigs
     from crackling_tpu.index import load_native
     from crackling_tpu.ops.issl_compact import CompactIsslScorer
 
-    index_npz, _issl, qfile = ensure_dataset()
+    if args.gbp is not None:
+        from scale_rung import DATA as SCALE_DATA
+
+        tag = f"g{args.gbp:g}b"
+        legacy = args.gbp == 2.6 and (SCALE_DATA / "scale.index.npz").exists()
+        index_npz = SCALE_DATA / ("scale.index.npz" if legacy
+                                  else f"{tag}.index.npz")
+        qfile = SCALE_DATA / f"{tag}.q1.txt"
+    else:
+        from bench import ensure_dataset
+
+        index_npz, _issl, qfile = ensure_dataset()
     index = load_native(str(index_npz))
     sigs = strings_to_sigs([s.strip() for s in open(qfile)], 20)
     if len(sigs) < args.page:
@@ -59,7 +75,7 @@ def main():
             sc.score(sigs)
             dt = min(dt, time.time() - t0)
         stats = np.array(sc.page_stats[:1])  # first (only) page
-        rec = {"tag": tag, "page": args.page,
+        rec = {"tag": tag, "page": args.page, "gbp": args.gbp,
                "caps": list(sc._caps()),
                "superchunk": sc.superchunk,
                "pops": stats[0].tolist(),
@@ -70,9 +86,9 @@ def main():
         return rec
 
     base = timed("default")
-    n1, nm, nsc, nsr, nc, n2c = base["pops"]
+    n1, nm, nsc, nsr, nc, n2c, n3 = base["pops"]
     log(f"populations: single={n1} mslot={nm} scell={nsc} sresc={nsr} "
-        f"mcell={nc} rescan={n2c}")
+        f"mcell={nc} rescan={n2c} hits={n3}")
 
     # tight variant: ~2x headroom over measured, rounded up to 1K
     def up(x):
