@@ -699,60 +699,75 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
         c2 = vz & (mcnt >= 2.0)
         n2c = jnp.sum(c2.astype(jnp.int32))
         ridx = _compact_indices(c2, capr)
-        vr = ridx >= 0
-        ri = jnp.maximum(ridx, 0)
-        rs, rb = sM[ri], bM[ri]
-        rq = jnp.minimum(q_of(mslot[ri]), n - 1)
-        rq_valid = vr & (q_of(mslot[ri]) < n)
-        start = boff[rs, rb] + mchk[ri] * chunk   # chunk | ALIGN
-        rows0 = rs * rows_per_slice + start // LANES
-        rr = rows0[:, None] + jnp.arange(chunk // LANES,
-                                         dtype=jnp.int32)[None, :]
-        e_lo = entries[0][rr].reshape(-1, chunk)   # (capr, chunk)
-        e_hi = entries[1][rr].reshape(-1, chunk)
-        # occurrences are NOT gathered here: stage 3b reads them
-        # pointwise for the compacted hits only
-        cols = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-        q_lo_r = q_lo[rq][:, None]
-        q_hi_r = q_hi[rq][:, None]
-        x_lo = e_lo ^ q_lo_r
-        x_hi = e_hi ^ q_hi_r
-        c_lo = ((x_lo & even) >> 1) | (x_lo & odd)  # bit 2p = mismatch p
-        c_hi = ((x_hi & even) >> 1) | (x_hi & odd)
-        distR = (jax.lax.population_count(c_lo)
-                 + jax.lax.population_count(c_hi)).astype(jnp.int32)
-        # first-clean-slice dedup on bytes: slice s' < rs is clean iff
-        # byte s' of c_lo is zero (slice 4 is never "earlier")
-        bsel = jnp.where(
-            rs[:, None] >= 4, jnp.uint32(0xFFFFFFFF),
-            (jnp.uint32(1) << (8 * jnp.minimum(rs[:, None], 3)))
-            - jnp.uint32(1))
-        xb = c_lo | ~bsel
-        seenR = ((xb - jnp.uint32(0x01010101)) & ~xb
-                 & jnp.uint32(0x80808080)) != 0
-        in_chunk = cols < (blens[rs, rb] - mchk[ri] * chunk)[:, None]
-        rvalid = ((distR <= max_dist) & ~seenR & in_chunk
-                  & rq_valid[:, None])
-        # 3b) hits are sparse within the rescanned pairs (each multi-hit
-        # chunk carries a handful among its `chunk` entries), so compact
-        # the hit coordinates and score only those pointwise — the full
-        # MIT/CFD arithmetic runs on ~caph pairs instead of capr x chunk
-        hitflat = rvalid.reshape(-1)
-        n3 = jnp.sum(hitflat.astype(jnp.int32))
-        hidx = _compact_indices(hitflat, caph)
-        vh = hidx >= 0
-        hrow = jnp.maximum(hidx, 0) // chunk
-        hcol = jnp.maximum(hidx, 0) % chunk
-        hs = rs[hrow]
-        hq_raw = q_of(mslot[ri][hrow])
-        hq = jnp.where(vh, hq_raw, n)
-        hqi = jnp.minimum(hq, n - 1)
-        flatpos = start[hrow] + hcol
-        loH, hiH, occH = gather_entries(entries, flatpos, hs)
-        mH_, cH_ = pair_scores(q_lo[hqi], q_hi[hqi], loH, hiH, occH,
-                               vh & (hq < n))
-        mit_sums = mit_sums.at[hq].add(mH_)
-        cfd_sums = cfd_sums.at[hq].add(cH_)
+        # blocked rescan: lax.map over row-blocks of <=8192 chunks keeps
+        # the gathered temporaries O(rblk x chunk) however large capr is
+        # (an unblocked capr=87K gather OOMed a 16 GB chip at mouse
+        # depth); each block compacts its own hits into caph//nrb slots
+        rblk = min(capr, 8192)
+        nrb = -(-capr // rblk)
+        caph_b = -(-caph // nrb)
+        pad = nrb * rblk - capr
+        ridx_b = jnp.concatenate(
+            [ridx, jnp.full((pad,), -1, jnp.int32)]).reshape(nrb, rblk)
+
+        def rescan_block(rbx):
+            vr = rbx >= 0
+            ri = jnp.maximum(rbx, 0)
+            rs, rb = sM[ri], bM[ri]
+            rq = jnp.minimum(q_of(mslot[ri]), n - 1)
+            rq_valid = vr & (q_of(mslot[ri]) < n)
+            start = boff[rs, rb] + mchk[ri] * chunk   # chunk | ALIGN
+            rows0 = rs * rows_per_slice + start // LANES
+            rr = rows0[:, None] + jnp.arange(chunk // LANES,
+                                             dtype=jnp.int32)[None, :]
+            e_lo = entries[0][rr].reshape(-1, chunk)   # (rblk, chunk)
+            e_hi = entries[1][rr].reshape(-1, chunk)
+            # occurrences are NOT gathered: the hit pass below reads
+            # them pointwise for the compacted hits only
+            cols = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+            x_lo = e_lo ^ q_lo[rq][:, None]
+            x_hi = e_hi ^ q_hi[rq][:, None]
+            c_lo = ((x_lo & even) >> 1) | (x_lo & odd)  # bit 2p = mm p
+            c_hi = ((x_hi & even) >> 1) | (x_hi & odd)
+            distR = (jax.lax.population_count(c_lo)
+                     + jax.lax.population_count(c_hi)).astype(jnp.int32)
+            # first-clean-slice dedup on bytes: slice s' < rs is clean
+            # iff byte s' of c_lo is zero (slice 4 is never "earlier")
+            bsel = jnp.where(
+                rs[:, None] >= 4, jnp.uint32(0xFFFFFFFF),
+                (jnp.uint32(1) << (8 * jnp.minimum(rs[:, None], 3)))
+                - jnp.uint32(1))
+            xb = c_lo | ~bsel
+            seenR = ((xb - jnp.uint32(0x01010101)) & ~xb
+                     & jnp.uint32(0x80808080)) != 0
+            in_chunk = cols < (blens[rs, rb] - mchk[ri] * chunk)[:, None]
+            rvalid = ((distR <= max_dist) & ~seenR & in_chunk
+                      & rq_valid[:, None])
+            # 3b) hits are sparse within the rescanned pairs, so compact
+            # the block's hit coordinates and score only those pointwise
+            # — full MIT/CFD arithmetic on ~caph_b pairs, not rblk*chunk
+            hitflat = rvalid.reshape(-1)
+            nh = jnp.sum(hitflat.astype(jnp.int32))
+            hidx = _compact_indices(hitflat, caph_b)
+            vh = hidx >= 0
+            hrow = jnp.maximum(hidx, 0) // chunk
+            hcol = jnp.maximum(hidx, 0) % chunk
+            hq_raw = q_of(mslot[ri][hrow])
+            hq = jnp.where(vh, hq_raw, n)
+            hqi = jnp.minimum(hq, n - 1)
+            loH, hiH, occH = gather_entries(entries,
+                                            start[hrow] + hcol, rs[hrow])
+            mH_, cH_ = pair_scores(q_lo[hqi], q_hi[hqi], loH, hiH, occH,
+                                   vh & (hq < n))
+            return nh, hq, mH_, cH_
+
+        nh_b, hqB, mB, cB = jax.lax.map(rescan_block, ridx_b)
+        # header slot 6 reports max-block-hits x nrb: a conservative
+        # extrapolated total compared against cap_hits by score_sums,
+        # so an uneven block's overflow always triggers a page split
+        n3 = jnp.max(nh_b) * nrb
+        mit_sums = mit_sums.at[hqB.reshape(-1)].add(mB.reshape(-1))
+        cfd_sums = cfd_sums.at[hqB.reshape(-1)].add(cB.reshape(-1))
 
         header = jnp.stack([n1, nm, n_sc, n_sr, nc, n2c, n3,
                             jnp.int32(0)])

@@ -46,21 +46,33 @@ def main():
     from crackling_tpu.ops.issl_compact import CompactIsslScorer
 
     if args.gbp is not None:
+        # the rung's own query derivation (scale_rung.py): DISTINCT
+        # candidate guides — tiling a smaller query file would duplicate
+        # queries and inflate the multi-hit populations being measured
         from scale_rung import DATA as SCALE_DATA
+
+        from crackling_tpu.index.extract import find_candidate_guides_seq
 
         tag = f"g{args.gbp:g}b"
         legacy = args.gbp == 2.6 and (SCALE_DATA / "scale.index.npz").exists()
         index_npz = SCALE_DATA / ("scale.index.npz" if legacy
                                   else f"{tag}.index.npz")
-        qfile = SCALE_DATA / f"{tag}.q1.txt"
+        with open(SCALE_DATA / f"{tag}.fa") as fp:
+            fp.readline()
+            seq = "".join(fp.readline().strip() for _ in range(12000))
+        _, _, cand = find_candidate_guides_seq(seq)
+        sigs = np.unique(cand & np.uint64((1 << 40) - 1))
+        rng = np.random.default_rng(7)
+        rng.shuffle(sigs)
     else:
         from bench import ensure_dataset
 
         index_npz, _issl, qfile = ensure_dataset()
+        sigs = strings_to_sigs([s.strip() for s in open(qfile)], 20)
     index = load_native(str(index_npz))
-    sigs = strings_to_sigs([s.strip() for s in open(qfile)], 20)
     if len(sigs) < args.page:
-        sigs = np.tile(sigs, -(-args.page // len(sigs)))[:args.page]
+        raise SystemExit(f"only {len(sigs)} distinct queries; "
+                         f"lower --page below {args.page}")
     sigs = sigs[:args.page]
 
     results = []
