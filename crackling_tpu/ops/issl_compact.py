@@ -30,17 +30,18 @@ a tiny fraction of pairs on real indexes. This engine splits the work:
   round-3 collapse: a 64K-slot page at ~1,000-chunk depth gathered
   ~250M chunk cells; the tree gathers ~4M). Shallow indexes skip the
   level (identical to the two-level decode). Single-hit cells resolve
-  directly; multi-hit chunks are **rescanned**: their <=4096 packed
-  entries are gathered and the (cheap) hit predicate is evaluated
-  elementwise, then the surviving hit coordinates are compacted and
-  only those pairs get the full MIT/CFD arithmetic —
-  followed by sparse scoring of the point hits: the mismatch mask is
-  recomputed from the packed signatures, MIT uses the closed form
-  (isslCreateIndex.cpp:93-118), CFD the exact 320-entry penalty-table
-  product (cfdPenalties.h), both in plain f32 (no bf16 split — per-hit
-  arithmetic is cheap), and a segment-sum by query id yields the
-  page's MIT/CFD sums. Only 2 x page x 4 B of sums (plus an 8-int
-  header for the compaction-cap check) return to host.
+  directly; multi-hit chunks are **rescanned inline** in memory-bounded
+  row blocks: their <=4096 packed entries are gathered and the hit
+  predicate plus per-pair MIT/CFD are evaluated elementwise and
+  row-summed in one fused pass (extracting the sparse hits first costs
+  a pairs-sized flat cumsum that measured 3x slower). Point hits
+  elsewhere in the decode recompute the mismatch mask from the packed
+  signatures; MIT uses the closed form (isslCreateIndex.cpp:93-118),
+  CFD the exact 320-entry penalty-table product (cfdPenalties.h), both
+  in plain f32 (no bf16 split — per-hit arithmetic is cheap), and a
+  segment-sum by query id yields the page's MIT/CFD sums. Only
+  2 x page x 4 B of sums (plus an 8-int header for the
+  compaction-cap check) return to host.
 
 In-kernel dedup means each (query, site) hit decodes exactly once, so
 phase 2 needs no sort/unique. dist == 0 self-hits are ordinary hits
@@ -284,6 +285,7 @@ class CompactIsslScorer:
                  qb_cap: int = 512, nz_cap: int = 1 << 17,
                  caps: tuple | None = None,
                  superchunk: int | None = None,
+                 rescan_block: int | None = None,
                  interpret: bool | None = None):
         if index.slice_width != 8 or index.seq_length != 20:
             raise ValueError("compact engine supports l=20, w=8")
@@ -322,6 +324,14 @@ class CompactIsslScorer:
         self._nchmax = max(1, -(-maxblen // self.chunk))
         self.superchunk = (auto_superchunk(self._nchmax)
                            if superchunk is None else int(superchunk))
+        # rescan block: bounds the gathered temporaries at
+        # O(rescan_block x chunk) pairs however large cap_rescan is
+        # (an unblocked 87K-chunk rescan OOMed a 16 GB chip at mouse
+        # depth); the rescan is one fused pass per block, so block size
+        # is perf-neutral at the bench point (251K at 8192 vs 247K at
+        # 32768) and 8192 keeps live temporaries ~1.3 GB at chunk=4096
+        self.rescan_block = (8192 if rescan_block is None
+                             else int(rescan_block))
         planes = np.stack([
             arrs["list_lo"].reshape(-1, LANES).view(np.uint32),
             arrs["list_hi"].reshape(-1, LANES).view(np.uint32),
@@ -351,7 +361,7 @@ class CompactIsslScorer:
             qb=qb, max_dist=self.max_dist,
             rows_per_slice=self._rows_per_slice,
             caps=self._caps(), superchunk=self.superchunk,
-            interpret=self.interpret))
+            rescan_block=self.rescan_block, interpret=self.interpret))
         self._runs[qb] = fn
         return fn
 
@@ -415,7 +425,8 @@ class CompactIsslScorer:
 
 def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
               max_dist: int, rows_per_slice: int,
-              caps: tuple, superchunk: int = 0, interpret: bool = False):
+              caps: tuple, superchunk: int = 0, rescan_block: int = 8192,
+              interpret: bool = False):
     """The compact engine's full device program for one query page:
     ``run(q_lo, q_hi, boff, blens, entries) -> (header, mit_sums,
     cfd_sums)``. Module-level so the multi-device path
@@ -693,24 +704,34 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
             header = jnp.stack([n1, nm, n_sc, n_sr, nc] + [jnp.int32(0)] * 3)
             return header, mit_sums[:n], cfd_sums[:n]
 
-        # 3a) multi-hit chunks: gather their <=chunk packed entries and
-        # evaluate just the HIT PREDICATE elementwise (XOR, popcount,
-        # SWAR dedup — ~10 vector ops/pair vs ~60 for full scores).
+        # 3) multi-hit chunks: rescan-and-score all <=chunk entries
+        # INLINE (elementwise + row sum; no hit extraction — compacting
+        # the sparse hits first costs a pairs-sized flat cumsum that
+        # measures 3x slower than scoring everything in one fused pass,
+        # scripts/profile_compact_results.jsonl). All per-pair
+        # arithmetic works on the collapsed XOR words directly — no
+        # 20-bit mask packing — and CFD selects from a per-ROW penalty
+        # table (the query is fixed per row), so the only pair-level
+        # table op is a 4-way select.
         c2 = vz & (mcnt >= 2.0)
         n2c = jnp.sum(c2.astype(jnp.int32))
         ridx = _compact_indices(c2, capr)
-        # blocked rescan: lax.map over row-blocks of <=8192 chunks keeps
-        # the gathered temporaries O(rblk x chunk) however large capr is
-        # (an unblocked capr=87K gather OOMed a 16 GB chip at mouse
-        # depth); each block compacts its own hits into caph//nrb slots
-        rblk = min(capr, 8192)
+        # blocked rescan: lax.map over row-blocks of <=rescan_block
+        # chunks keeps the gathered temporaries O(rblk x chunk) however
+        # large capr is (an unblocked capr=87K gather OOMed a 16 GB chip
+        # at mouse depth); one block = one fully fused pass
+        rblk = min(capr, rescan_block)
         nrb = -(-capr // rblk)
-        caph_b = -(-caph // nrb)
         pad = nrb * rblk - capr
         ridx_b = jnp.concatenate(
             [ridx, jnp.full((pad,), -1, jnp.int32)]).reshape(nrb, rblk)
+        p20 = jnp.arange(20, dtype=jnp.uint32)
+        shq = (2 * p20) % 32
+        b4 = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+        pen_dev = jnp.asarray(pen_tab)
+        p20i = jnp.arange(20, dtype=jnp.int32)[None, :, None]
 
-        def rescan_block(rbx):
+        def scan_block(rbx):
             vr = rbx >= 0
             ri = jnp.maximum(rbx, 0)
             rs, rb = sM[ri], bM[ri]
@@ -722,8 +743,7 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
                                              dtype=jnp.int32)[None, :]
             e_lo = entries[0][rr].reshape(-1, chunk)   # (rblk, chunk)
             e_hi = entries[1][rr].reshape(-1, chunk)
-            # occurrences are NOT gathered: the hit pass below reads
-            # them pointwise for the compacted hits only
+            e_occ = entries[2][rr].reshape(-1, chunk)
             cols = jnp.arange(chunk, dtype=jnp.int32)[None, :]
             x_lo = e_lo ^ q_lo[rq][:, None]
             x_hi = e_hi ^ q_hi[rq][:, None]
@@ -743,34 +763,65 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
             in_chunk = cols < (blens[rs, rb] - mchk[ri] * chunk)[:, None]
             rvalid = ((distR <= max_dist) & ~seenR & in_chunk
                       & rq_valid[:, None])
-            # 3b) hits are sparse within the rescanned pairs, so compact
-            # the block's hit coordinates and score only those pointwise
-            # — full MIT/CFD arithmetic on ~caph_b pairs, not rblk*chunk
-            hitflat = rvalid.reshape(-1)
-            nh = jnp.sum(hitflat.astype(jnp.int32))
-            hidx = _compact_indices(hitflat, caph_b)
-            vh = hidx >= 0
-            hrow = jnp.maximum(hidx, 0) // chunk
-            hcol = jnp.maximum(hidx, 0) % chunk
-            hq_raw = q_of(mslot[ri][hrow])
-            hq = jnp.where(vh, hq_raw, n)
-            hqi = jnp.minimum(hq, n - 1)
-            loH, hiH, occH = gather_entries(entries,
-                                            start[hrow] + hcol, rs[hrow])
-            mH_, cH_ = pair_scores(q_lo[hqi], q_hi[hqi], loH, hiH, occH,
-                                   vh & (hq < n))
-            return nh, hq, mH_, cH_
+            # MIT closed form from the collapsed words
+            lo_i = c_lo.astype(jnp.int32)
+            hi_i = c_hi.astype(jnp.int32)
+            ctz_lo = jax.lax.population_count(~lo_i & (lo_i - 1))
+            ctz_hi = jax.lax.population_count(~hi_i & (hi_i - 1))
+            firstR = jnp.where(lo_i != 0, ctz_lo >> 1, 16 + (ctz_hi >> 1))
+            lastR = jnp.where(
+                hi_i != 0,
+                16 + ((31 - jax.lax.clz(jnp.maximum(hi_i, 1))) >> 1),
+                (31 - jax.lax.clz(jnp.maximum(lo_i, 1))) >> 1)
+            mR = distR.astype(jnp.float32)
+            mdR = jnp.maximum(mR - 1.0, 1.0)
+            uR = jnp.where(distR == 1, jnp.float32(19.0),
+                           (lastR - firstR).astype(jnp.float32))
+            mit_logR = jnp.zeros_like(mR)
+            for p_ in range(16):
+                mit_logR += jnp.where((c_lo >> (2 * p_)) & 1,
+                                      mitl_pos[p_], 0.0)
+            for p_ in range(4):
+                mit_logR += jnp.where((c_hi >> (2 * p_)) & 1,
+                                      mitl_pos[16 + p_], 0.0)
+            denR = (95.0 * mdR - 4.0 * uR) * jnp.maximum(mR * mR, 1.0)
+            mitR = jnp.where(distR > 0,
+                             jnp.exp2(mit_logR) * (1900.0 * mdR) / denR,
+                             0.0)
+            # CFD: per-row (20, 4) penalty table with 1.0 baked at the
+            # matching base, then a 4-way select per (pair, position)
+            qword = jnp.where(p20[None, :] >= 16, q_hi[rq][:, None],
+                              q_lo[rq][:, None])
+            rcodes = ((qword >> shq[None, :]) & 3).astype(jnp.int32)
+            pidx = (rcodes[:, :, None] << 2) | (b4 ^ 3)
+            rpen = pen_dev[p20i, pidx]
+            rpen = jnp.where(b4 == rcodes[:, :, None], 1.0, rpen)
+            cfdR = jnp.full_like(mR, pam_ngg)
+            for p_ in range(20):
+                eword = e_hi if p_ >= 16 else e_lo
+                ob = ((eword >> ((2 * p_) % 32)) & 3).astype(jnp.int32)
+                t0 = rpen[:, p_, 0][:, None]
+                t1 = rpen[:, p_, 1][:, None]
+                t2 = rpen[:, p_, 2][:, None]
+                t3 = rpen[:, p_, 3][:, None]
+                pen = jnp.where(ob < 2, jnp.where(ob == 0, t0, t1),
+                                jnp.where(ob == 2, t2, t3))
+                cfdR = cfdR * pen
+            cfdR = jnp.where(distR == 0, 1.0, cfdR)
+            vfR = jnp.where(rvalid, e_occ.astype(jnp.float32), 0.0)
+            hqR = jnp.where(rq_valid, q_of(mslot[ri]), n)
+            return hqR, jnp.sum(mitR * vfR, axis=1), \
+                jnp.sum(cfdR * vfR, axis=1)
 
-        nh_b, hqB, mB, cB = jax.lax.map(rescan_block, ridx_b)
-        # header slot 6 reports max-block-hits x nrb: a conservative
-        # extrapolated total compared against cap_hits by score_sums,
-        # so an uneven block's overflow always triggers a page split
-        n3 = jnp.max(nh_b) * nrb
+        if nrb == 1:
+            hqB, mB, cB = scan_block(ridx_b[0])
+        else:
+            hqB, mB, cB = jax.lax.map(scan_block, ridx_b)
         mit_sums = mit_sums.at[hqB.reshape(-1)].add(mB.reshape(-1))
         cfd_sums = cfd_sums.at[hqB.reshape(-1)].add(cB.reshape(-1))
 
-        header = jnp.stack([n1, nm, n_sc, n_sr, nc, n2c, n3,
-                            jnp.int32(0)])
+        header = jnp.stack([n1, nm, n_sc, n_sr, nc, n2c,
+                            jnp.int32(0), jnp.int32(0)])
         return header, mit_sums[:n], cfd_sums[:n]
 
     def run(q_lo, q_hi, boff, blens, entries):
