@@ -72,9 +72,13 @@ from .tables import (CFD_PAM_NGG_INDEX, MIT_WEIGHTS, cfd_pam_penalties,
 
 enable_persistent_cache()
 
-# debug/ablation knob: 1 = single-hit slots only, 2 = + chunk cells,
-# 3 = full decode (default). Read at trace time.
+# debug/ablation knob: 1 = direct (1-2 hit) slots only, 2 = + tree
+# cells, 3 = full decode (default). Read at trace time.
 _STAGES = 3
+
+# min-rank sentinel for empty cells; ranks are exact below 2^22 so the
+# sentinel is unreachable
+RANK_SENTINEL = float(1 << 23)
 
 
 def auto_superchunk(nchmax: int) -> int:
@@ -88,12 +92,11 @@ def auto_superchunk(nchmax: int) -> int:
 
 
 def normalize_caps(caps, nz_cap: int):
-    """Seven compaction capacities (single-hit slots, multi-hit slots,
-    nonzero superchunk cells, multi-hit superchunk cells, nonzero chunk
-    cells, multi-hit chunks, rescan hits). Legacy 4-tuples
-    (pre-superchunk) map their cell/rescan caps onto the superchunk
-    level; 6-tuples (pre-hit-compaction) derive the hit cap from the
-    rescan cap."""
+    """Seven compaction capacities (direct 1-2 hit slots, >=3-hit
+    slots, nonzero superchunk cells, >=3-hit superchunk cells, nonzero
+    chunk cells, >=3-hit rescan chunks, unused legacy slot). Legacy
+    4-tuples (pre-superchunk) map their cell/rescan caps onto the
+    superchunk level; 6-tuples are padded with the unused slot."""
     if caps is None:
         nz = int(nz_cap)
         caps = (nz, max(1024, nz // 2), max(2048, nz),
@@ -107,6 +110,14 @@ def normalize_caps(caps, nz_cap: int):
     if len(caps) != 7:
         raise ValueError("caps must have 4/6 (legacy) or 7 entries")
     return caps
+
+
+def _quant_cap(pop: int, floor: int = 4096) -> int:
+    """Smallest power of two >= 1.5x the measured population (>= floor):
+    the auto-tuned compaction capacity for a population, quantized so
+    page-to-page variation rarely forces a recompile."""
+    need = max(floor, int(1.5 * pop) + 1)
+    return 1 << (need - 1).bit_length()
 
 
 def _compact_indices(mask, cap: int):
@@ -141,9 +152,10 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
             entries_hbm.at[:, pl.ds(r0, cg), :], buf.at[slot],
             sems.at[slot])
 
-    nblk = -(-nchmax // 4)
-    nsb = -(-(-(-nchmax // superchunk)) // 4) if superchunk else 0
+    nblk = -(-nchmax // 2)
+    nsb = -(-(-(-nchmax // superchunk)) // 2) if superchunk else 0
     mom_ref[0, 0] = jnp.zeros((8 * (nblk + nsb + 1), qb), jnp.float32)
+    big = jnp.float32(RANK_SENTINEL)
 
     @pl.when(blen > 0)
     def _process():
@@ -161,9 +173,9 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
 
         def body(c, carry):
             if superchunk:
-                blk, tot, scblk, scc, scp = carry
+                blk, tot, tmin, tmax, scblk, scc, scp, scmin, scmax = carry
             else:
-                blk, tot = carry
+                blk, tot, tmin, tmax = carry
             slot = c % 2
 
             @pl.when(c + 1 < nch)
@@ -177,6 +189,8 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
 
             cnt_acc = jnp.zeros((LANES, qb), jnp.float32)
             pos_acc = jnp.zeros((LANES, qb), jnp.float32)
+            min_acc = jnp.full((LANES, qb), big, jnp.float32)
+            max_acc = jnp.full((LANES, qb), -1.0, jnp.float32)
             for g in range(cg):
                 lo_b = jnp.broadcast_to(lo2[g:g + 1, :], (LANES, LANES))
                 hi_b = jnp.broadcast_to(hi2[g:g + 1, :], (LANES, LANES))
@@ -198,82 +212,108 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
                 rank = (site_sub + (g * LANES)).astype(jnp.float32)
                 cnt_acc = cnt_acc + hitf
                 pos_acc = pos_acc + hitf * rank
+                min_acc = jnp.minimum(min_acc, jnp.where(valid, rank, big))
+                max_acc = jnp.maximum(max_acc, jnp.where(valid, rank, -1.0))
 
-            # one reduction pair per chunk: 128 sublanes -> 1 row each
+            # one reduction per component per chunk: 128 sublanes -> 1 row
             # (two-step 128->8->1 keeps the reduce in Mosaic's happy path)
             cf = jnp.float32(c * chunk)
             cnt8 = jnp.sum(cnt_acc.reshape(LANES // 8, 8, qb), axis=0)
             pos8 = jnp.sum((pos_acc + cnt_acc * cf)
                            .reshape(LANES // 8, 8, qb), axis=0)
+            min8 = jnp.min(min_acc.reshape(LANES // 8, 8, qb), axis=0)
+            max8 = jnp.max(max_acc.reshape(LANES // 8, 8, qb), axis=0)
             cnt1 = jnp.sum(cnt8, axis=0, keepdims=True)       # (1, qb)
             pos1 = jnp.sum(pos8, axis=0, keepdims=True)
-            # pack 4 chunks' (cnt, pos) pairs per 8-row block: Mosaic
-            # vector stores need sublane-aligned (multiple-of-8) dynamic
-            # offsets, so the block accumulates in registers and stores
-            # once per 4 chunks (or at the bucket's last chunk) — 4x
-            # smaller moment planes than one 8-row stripe per chunk,
-            # which is what keeps deep (genome-scale) buckets in HBM
-            k = c % 4
+            min1 = jnp.min(min8, axis=0, keepdims=True)
+            max1 = jnp.max(max8, axis=0, keepdims=True)
+            # global ranks; the sentinel (no hit) stays put
+            rmin1 = jnp.where(min1 < big, min1 + cf, big)
+            rmax1 = jnp.where(max1 >= 0.0, max1 + cf, -1.0)
+            # pack 2 chunks' (cnt, pos, min, max) quads per 8-row block:
+            # Mosaic vector stores need sublane-aligned (multiple-of-8)
+            # dynamic offsets, so the block accumulates in registers and
+            # stores once per 2 chunks (or at the bucket's last chunk) —
+            # the min/max pair is what lets the decode resolve 1-2 hit
+            # cells pointwise and skip the rescan for them entirely
+            k = c % 2
             # row-iota selects (Mosaic has no register-value
-            # dynamic_update_slice): blk[2k] = cnt, blk[2k+1] = pos
+            # dynamic_update_slice): blk[4k..4k+3] = cnt,pos,min,max
             rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, qb), 0)
-            blk = jnp.where(rows8 == 2 * k,
-                            jnp.broadcast_to(cnt1, (8, qb)), blk)
-            blk = jnp.where(rows8 == 2 * k + 1,
-                            jnp.broadcast_to(pos1, (8, qb)), blk)
-            # bucket totals in rows 0 (count) / 1 (rank sum) of `tot`:
-            # single-hit slots resolve from these alone, so the decode
-            # never reduces over the full chunk-moment planes
+
+            def put4(reg, base_row, c_, p_, mn_, mx_):
+                reg = jnp.where(rows8 == base_row,
+                                jnp.broadcast_to(c_, (8, qb)), reg)
+                reg = jnp.where(rows8 == base_row + 1,
+                                jnp.broadcast_to(p_, (8, qb)), reg)
+                reg = jnp.where(rows8 == base_row + 2,
+                                jnp.broadcast_to(mn_, (8, qb)), reg)
+                return jnp.where(rows8 == base_row + 3,
+                                 jnp.broadcast_to(mx_, (8, qb)), reg)
+
+            blk = put4(blk, 4 * k, cnt1, pos1, rmin1, rmax1)
+            # bucket totals (rows 0-3 of the last block): 1-2 hit slots
+            # resolve from these alone, so the decode never reduces over
+            # the full chunk-moment planes
             tot = tot + jnp.where(rows8 == 0,
                                   jnp.broadcast_to(cnt1, (8, qb)),
                                   jnp.where(rows8 == 1,
                                             jnp.broadcast_to(pos1, (8, qb)),
                                             jnp.zeros((8, qb), jnp.float32)))
+            tmin = jnp.minimum(tmin, rmin1)
+            tmax = jnp.maximum(tmax, rmax1)
 
-            @pl.when((k == 3) | (c == nch - 1))
+            @pl.when((k == 1) | (c == nch - 1))
             def _():
-                mom_ref[0, 0, pl.ds(8 * (c // 4), 8), :] = blk
+                mom_ref[0, 0, pl.ds(8 * (c // 2), 8), :] = blk
 
             @pl.when(c == nch - 1)
             def _():
-                mom_ref[0, 0, pl.ds(8 * (nblk + nsb), 8), :] = tot
+                mom_ref[0, 0, pl.ds(8 * (nblk + nsb), 8), :] = put4(
+                    tot, 0, tot[0:1], tot[1:2], tmin, tmax)
 
-            new_blk = jnp.where(k == 3, jnp.zeros_like(blk), blk)
+            new_blk = jnp.where(k == 1, jnp.zeros_like(blk), blk)
             if not superchunk:
-                return (new_blk, tot)
+                return (new_blk, tot, tmin, tmax)
 
             # superchunk moments: the middle tree level. Accumulate the
-            # chunk's (cnt, global-rank-sum) pair into the running
-            # superchunk registers; at a superchunk boundary fold them
-            # into the 4-superchunk block register and store the block
-            # when full (rows [8*nblk, 8*(nblk+nsb)), after the chunk
-            # blocks, before the totals)
+            # chunk's (cnt, global-rank-sum, min, max) quad into the
+            # running superchunk registers; at a superchunk boundary fold
+            # them into the 2-superchunk block register and store the
+            # block when full (rows [8*nblk, 8*(nblk+nsb)), after the
+            # chunk blocks, before the totals)
             scc = scc + cnt1
             scp = scp + pos1
+            scmin = jnp.minimum(scmin, rmin1)
+            scmax = jnp.maximum(scmax, rmax1)
             j = c // superchunk
-            ksc = j % 4
+            ksc = j % 2
             at_end = ((c + 1) % superchunk == 0) | (c == nch - 1)
-            scblk = jnp.where(at_end & (rows8 == 2 * ksc),
-                              jnp.broadcast_to(scc, (8, qb)), scblk)
-            scblk = jnp.where(at_end & (rows8 == 2 * ksc + 1),
-                              jnp.broadcast_to(scp, (8, qb)), scblk)
-            store_sc = at_end & ((ksc == 3) | (c == nch - 1))
+            folded = put4(scblk, 4 * ksc, scc, scp, scmin, scmax)
+            scblk = jnp.where(at_end, folded, scblk)
+            store_sc = at_end & ((ksc == 1) | (c == nch - 1))
 
             @pl.when(store_sc)
             def _():
-                mom_ref[0, 0, pl.ds(8 * (nblk + j // 4), 8), :] = scblk
+                mom_ref[0, 0, pl.ds(8 * (nblk + j // 2), 8), :] = scblk
 
             scc = jnp.where(at_end, jnp.zeros_like(scc), scc)
             scp = jnp.where(at_end, jnp.zeros_like(scp), scp)
+            scmin = jnp.where(at_end, jnp.full_like(scmin, big), scmin)
+            scmax = jnp.where(at_end, jnp.full_like(scmax, -1.0), scmax)
             scblk = jnp.where(store_sc, jnp.zeros_like(scblk), scblk)
-            return (new_blk, tot, scblk, scc, scp)
+            return (new_blk, tot, tmin, tmax, scblk, scc, scp, scmin, scmax)
 
         init = (jnp.zeros((8, qb), jnp.float32),
-                jnp.zeros((8, qb), jnp.float32))
+                jnp.zeros((8, qb), jnp.float32),
+                jnp.full((1, qb), big, jnp.float32),
+                jnp.full((1, qb), -1.0, jnp.float32))
         if superchunk:
             init = init + (jnp.zeros((8, qb), jnp.float32),
                            jnp.zeros((1, qb), jnp.float32),
-                           jnp.zeros((1, qb), jnp.float32))
+                           jnp.zeros((1, qb), jnp.float32),
+                           jnp.full((1, qb), big, jnp.float32),
+                           jnp.full((1, qb), -1.0, jnp.float32))
         jax.lax.fori_loop(0, nch, body, init)
 
 
@@ -286,6 +326,7 @@ class CompactIsslScorer:
                  caps: tuple | None = None,
                  superchunk: int | None = None,
                  rescan_block: int | None = None,
+                 auto_caps: bool | None = None,
                  interpret: bool | None = None):
         if index.slice_width != 8 or index.seq_length != 20:
             raise ValueError("compact engine supports l=20, w=8")
@@ -296,19 +337,28 @@ class CompactIsslScorer:
         self.query_page = int(query_page)
         self.chunk = int(chunk)
         self.qb_cap = int(qb_cap)
-        # compaction capacities (page splits in half on overflow): every
-        # decode gather/score runs at cap size, so these are kept ~2x the
-        # bench-measured populations per 64K-query page; ``caps`` pins
-        # all seven (single-hit slots, multi-hit slots, nonzero
-        # superchunk cells, multi-hit superchunk cells, nonzero chunk
-        # cells, multi-hit chunks, rescan hits) explicitly — see
-        # scripts/compact_caps.py
+        # compaction capacities: every decode gather/score runs at cap
+        # size, so throughput is CAPACITY-bound, not population-bound
+        # (tuning caps to measured populations took the bench point from
+        # 204K to 401K guides/s). ``caps`` pins all seven (direct 1-2
+        # hit slots, >=3-hit slots, nonzero superchunk cells, >=3-hit
+        # superchunk cells, nonzero chunk cells, >=3-hit rescan chunks,
+        # unused) explicitly and overflow splits the page in half; with
+        # caps=None on TPU the scorer AUTO-TUNES: the first page runs at
+        # the generous nz_cap defaults, caps shrink to ~1.5x its
+        # measured populations (power-of-two quantized so recompiles
+        # stay rare), and later overflows grow the exceeded cap and
+        # retry instead of splitting — see scripts/compact_caps.py
         (self.cap_single, self.cap_mslot, self.cap_scell, self.cap_sresc,
          self.cap_mcell, self.cap_rescan,
          self.cap_hits) = normalize_caps(caps, nz_cap)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
+        if auto_caps is None:
+            auto_caps = caps is None and not interpret
+        self._auto = bool(auto_caps)
+        self._tuned = False
         self.S = index.slice_count
         self.B = index.bucket_count
 
@@ -353,48 +403,48 @@ class CompactIsslScorer:
                 self.cap_sresc, self.cap_mcell, self.cap_rescan,
                 self.cap_hits)
 
+    def _set_caps(self, caps):
+        (self.cap_single, self.cap_mslot, self.cap_scell, self.cap_sresc,
+         self.cap_mcell, self.cap_rescan, self.cap_hits) = caps
+
     def _get_run(self, qb: int):
-        if qb in self._runs:
-            return self._runs[qb]
+        key = (qb, self._caps())
+        if key in self._runs:
+            return self._runs[key]
         fn = jax.jit(build_run(
             S=self.S, B=self.B, nchmax=self._nchmax, chunk=self.chunk,
             qb=qb, max_dist=self.max_dist,
             rows_per_slice=self._rows_per_slice,
             caps=self._caps(), superchunk=self.superchunk,
             rescan_block=self.rescan_block, interpret=self.interpret))
-        self._runs[qb] = fn
+        self._runs[key] = fn
         return fn
 
     # -- public API --------------------------------------------------------
 
-    def score_sums(self, query_sigs: np.ndarray):
-        sigs = np.asarray(query_sigs, dtype=np.uint64)
-        n = sigs.shape[0]
-        out_mit = np.zeros(n, dtype=np.float64)
-        out_cfd = np.zeros(n, dtype=np.float64)
+    def _dispatch(self, lo_idx, page, pending):
+        qb, _need = plan_query_occupancy(
+            page, self.S, self.B, self.index.slice_width, self.qb_cap)
+        if qb is None:
+            half = page.shape[0] // 2
+            if half == 0:
+                raise RuntimeError("query bucket overflow; raise qb_cap")
+            self._dispatch(lo_idx, page[:half], pending)
+            self._dispatch(lo_idx + half, page[half:], pending)
+            return
+        lo, hi = sig_split(page)
+        fn = self._get_run(qb)
+        out = fn(jnp.asarray(lo.view(np.uint32)),
+                 jnp.asarray(hi.view(np.uint32)),
+                 self.bucket_offsets, self.bucket_lens, self.entries)
+        pending.append((lo_idx, page, out))
+
+    def _run_pages(self, pages, out_mit, out_cfd):
         pending = []
-
-        def dispatch(lo_idx, page):
-            qb, _need = plan_query_occupancy(
-                page, self.S, self.B, self.index.slice_width, self.qb_cap)
-            if qb is None:
-                half = page.shape[0] // 2
-                if half == 0:
-                    raise RuntimeError("query bucket overflow; raise qb_cap")
-                dispatch(lo_idx, page[:half])
-                dispatch(lo_idx + half, page[half:])
-                return
-            lo, hi = sig_split(page)
-            fn = self._get_run(qb)
-            out = fn(jnp.asarray(lo.view(np.uint32)),
-                     jnp.asarray(hi.view(np.uint32)),
-                     self.bucket_offsets, self.bucket_lens, self.entries)
-            pending.append((lo_idx, page, out))
-
-        for i in range(0, n, self.query_page):
-            dispatch(i, sigs[i:i + self.query_page])
-
-        # one batched drain; overflowed pages split and retry
+        for lo_idx, page in pages:
+            self._dispatch(lo_idx, page, pending)
+        # one batched drain; overflowed pages grow their caps and retry
+        # (auto mode) or split in half (explicit caps)
         while pending:
             fetched = jax.device_get([o for _, _, o in pending])
             retry = []
@@ -402,20 +452,48 @@ class CompactIsslScorer:
                 pops = tuple(int(x) for x in header[:7])
                 self.page_stats.append(pops)
                 if any(p > cap for p, cap in zip(pops, self._caps())):
-                    if page.shape[0] < 2:
-                        raise RuntimeError(
-                            "hit compaction overflow on a single query; "
-                            "raise nz_cap")
-                    retry.append((lo_idx, page))
+                    if self._auto:
+                        self._set_caps(tuple(
+                            _quant_cap(p) if p > cap else cap
+                            for p, cap in zip(pops, self._caps())))
+                        retry.append((lo_idx, page, False))
+                    else:
+                        if page.shape[0] < 2:
+                            raise RuntimeError(
+                                "hit compaction overflow on a single "
+                                "query; raise nz_cap")
+                        retry.append((lo_idx, page, True))
                     continue
                 ln = page.shape[0]
                 out_mit[lo_idx:lo_idx + ln] = m
                 out_cfd[lo_idx:lo_idx + ln] = c
             pending = []
-            for lo_idx, page in retry:
-                half = page.shape[0] // 2
-                dispatch(lo_idx, page[:half])
-                dispatch(lo_idx + half, page[half:])
+            for lo_idx, page, split in retry:
+                if split:
+                    half = page.shape[0] // 2
+                    self._dispatch(lo_idx, page[:half], pending)
+                    self._dispatch(lo_idx + half, page[half:], pending)
+                else:
+                    self._dispatch(lo_idx, page, pending)
+
+    def score_sums(self, query_sigs: np.ndarray):
+        sigs = np.asarray(query_sigs, dtype=np.uint64)
+        n = sigs.shape[0]
+        out_mit = np.zeros(n, dtype=np.float64)
+        out_cfd = np.zeros(n, dtype=np.float64)
+        pages = [(i, sigs[i:i + self.query_page])
+                 for i in range(0, n, self.query_page)]
+        if self._auto and not self._tuned and pages:
+            # run the first page at the generous defaults, then shrink
+            # every cap to ~1.5x its measured population before
+            # pipelining the rest — the decode runs at cap size, so
+            # right-sized caps are worth ~2x at the bench point
+            self._run_pages(pages[:1], out_mit, out_cfd)
+            self._set_caps(tuple(
+                _quant_cap(p) for p in self.page_stats[-1]))
+            self._tuned = True
+            pages = pages[1:]
+        self._run_pages(pages, out_mit, out_cfd)
         return out_mit, out_cfd
 
     def score(self, query_sigs: np.ndarray):
@@ -438,12 +516,12 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
 
     cap1, capm, capsc, capsr, capm2, capr, caph = normalize_caps(caps, 0)
     pam_ngg = float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX])
-    nblk = -(-nchmax // 4)        # 8-row moment blocks, 4 chunks each
-    nchd = 4 * nblk               # decode-side chunk-cell count
+    nblk = -(-nchmax // 2)        # 8-row moment blocks, 2 chunks each
+    nchd = 2 * nblk               # decode-side chunk-cell count
     if superchunk:
         nsc = -(-nchmax // superchunk)
-        nsb = -(-nsc // 4)        # 8-row superchunk blocks
-        nscd = 4 * nsb            # decode-side superchunk-cell count
+        nsb = -(-nsc // 2)        # 8-row superchunk blocks
+        nscd = 2 * nsb            # decode-side superchunk-cell count
     else:
         nsb = nscd = 0
 
@@ -570,16 +648,22 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
 
     def decode_score(q_lo, q_hi, qsp_flat, kout, boff, blens, entries):
         n = q_lo.shape[0]
-        # packed layout: block b rows [2k, 2k+1] = (cnt, pos) of chunk
-        # 4b + k; blocks [nblk, nblk+nsb) = superchunk moments (when the
-        # tree level is on); block nblk+nsb rows 0/1 = bucket totals.
-        # Cells past the bucket's last chunk are all-zero and never
-        # flagged downstream. Slot totals come straight from the kernel's
-        # bucket-total rows — the full chunk-moment planes are only ever
-        # point-gathered, never reduced or transposed whole, so decode
-        # prep stays O(page) however deep the buckets are.
-        slot_cnt = kout[:, :, 8 * (nblk + nsb), :].reshape(-1)
-        slot_pos = kout[:, :, 8 * (nblk + nsb) + 1, :].reshape(-1)
+        # packed layout: block b rows [4k, 4k+3] = (cnt, rank-sum, min
+        # rank, max rank) of chunk 2b + k; blocks [nblk, nblk+nsb) =
+        # superchunk moments (when the tree level is on); block nblk+nsb
+        # rows 0-3 = bucket totals. Cells past the bucket's last chunk
+        # are all-zero and never flagged downstream. Slot totals come
+        # straight from the kernel's bucket-total rows — the full
+        # chunk-moment planes are only ever point-gathered, never
+        # reduced or transposed whole, so decode prep stays O(page)
+        # however deep the buckets are. The min/max pair resolves any
+        # 1-2 hit population pointwise at EVERY tree level (two distinct
+        # hits have distinct ranks), so only >=3-hit cells descend and
+        # only >=3-hit chunks are rescanned.
+        base = 8 * (nblk + nsb)
+        slot_cnt = kout[:, :, base, :].reshape(-1)
+        slot_min = kout[:, :, base + 2, :].reshape(-1)
+        slot_max = kout[:, :, base + 3, :].reshape(-1)
 
         def unravel_slot(i):
             sl = i // (B * qb)
@@ -592,33 +676,53 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
         mit_sums = jnp.zeros(n + 1, jnp.float32)
         cfd_sums = jnp.zeros(n + 1, jnp.float32)
 
-        # 1) single-hit slots: rank-sum IS the in-bucket rank
-        one = slot_cnt == 1.0
-        n1 = jnp.sum(one.astype(jnp.int32))
-        sidx = _compact_indices(one, cap1)
+        def score_direct(sS, sB, hq, cnt, rmin, rmax, valid):
+            """Score a compacted batch of 1-2 hit cells pointwise: the
+            min rank is the (only/first) hit, the max rank the second
+            when cnt == 2. Returns per-cell (mit, cfd) contributions."""
+            qi = jnp.minimum(hq, n - 1)
+            va = valid & (cnt >= 1.0) & (cnt <= 2.0) & (hq < n)
+            vb = valid & (cnt == 2.0) & (hq < n)
+            ka = jnp.where(va, rmin, 0.0).astype(jnp.int32)
+            kb = jnp.where(vb, rmax, 0.0).astype(jnp.int32)
+            lo_a, hi_a, occ_a = gather_entries(entries,
+                                               boff[sS, sB] + ka, sS)
+            m_a, c_a = pair_scores(q_lo[qi], q_hi[qi], lo_a, hi_a,
+                                   occ_a, va)
+            lo_b, hi_b, occ_b = gather_entries(entries,
+                                               boff[sS, sB] + kb, sS)
+            m_b, c_b = pair_scores(q_lo[qi], q_hi[qi], lo_b, hi_b,
+                                   occ_b, vb)
+            return m_a + m_b, c_a + c_b
+
+        # 1) direct slots (1-2 hits): min/max ranks come straight from
+        # the bucket totals — no tree walk, no rescan
+        direct = (slot_cnt == 1.0) | (slot_cnt == 2.0)
+        n1 = jnp.sum(direct.astype(jnp.int32))
+        sidx = _compact_indices(direct, cap1)
         v1 = sidx >= 0
-        s1, b1, _ = unravel_slot(jnp.maximum(sidx, 0))
-        k1 = slot_pos[jnp.maximum(sidx, 0)].astype(jnp.int32)
-        lo1, hi1, occ1 = gather_entries(entries, boff[s1, b1] + k1, s1)
-        hq1 = q_of(jnp.maximum(sidx, 0))
-        qi1 = jnp.minimum(hq1, n - 1)
-        m1_, c1_ = pair_scores(q_lo[qi1], q_hi[qi1], lo1, hi1, occ1,
-                               v1 & (hq1 < n))
+        si = jnp.maximum(sidx, 0)
+        s1, b1, _ = unravel_slot(si)
+        hq1 = q_of(si)
+        m1_, c1_ = score_direct(s1, b1, hq1,
+                                jnp.where(v1, slot_cnt[si], 0.0),
+                                slot_min[si], slot_max[si], v1)
         mit_sums = mit_sums.at[hq1].add(m1_)
         cfd_sums = cfd_sums.at[hq1].add(c1_)
         if _STAGES < 2:
             header = jnp.stack([n1] + [jnp.int32(0)] * 7)
             return header, mit_sums[:n], cfd_sums[:n]
 
-        # 2) multi-hit slots expand down the moment tree. With the
+        # 2) >=3-hit slots expand down the moment tree. With the
         # superchunk level on, each flagged slot point-gathers only its
-        # (nscd,) superchunk cells; single-hit superchunk cells resolve
-        # directly, and only multi-hit superchunk cells expand into their
-        # (superchunk,) chunk cells — O(sqrt(depth)) cells per slot.
-        # Without the level, slots gather their (nchd,) chunk cells
-        # directly. Either way the planes are never reduced or
-        # transposed whole.
-        multi = slot_cnt >= 2.0
+        # (nscd,) superchunk cell counts; 1-2 hit superchunk cells
+        # resolve directly from their min/max, and only >=3-hit
+        # superchunk cells expand into their (superchunk,) chunk cells —
+        # O(sqrt(depth)) cells per slot. Without the level, slots gather
+        # their (nchd,) chunk cell counts directly. Either way the
+        # planes are never reduced or transposed whole, and min/max are
+        # gathered pointwise for compacted nonzero cells only.
+        multi = slot_cnt >= 3.0
         nm = jnp.sum(multi.astype(jnp.int32))
         midx = _compact_indices(multi, capm)
         vm = (midx >= 0)[:, None]
@@ -626,33 +730,29 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
         n_sc = n_sr = jnp.int32(0)
         if superchunk:
             scj = jnp.arange(nscd, dtype=jnp.int32)
-            rowsc = 8 * (nblk + scj // 4) + 2 * (scj % 4)
+            rowsc = 8 * (nblk + scj // 2) + 4 * (scj % 2)
             msc = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
                                      rowsc[None, :], q2_[:, None]], 0.0)
-            msp = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
-                                     rowsc[None, :] + 1, q2_[:, None]], 0.0)
             n_sc = jnp.sum((msc > 0).astype(jnp.int32))
             scz = _compact_indices(msc.reshape(-1) > 0, capsc)
             vsz = scz >= 0
-            srow = jnp.maximum(scz, 0) // nscd
-            s_sc = jnp.maximum(scz, 0) % nscd
+            szi = jnp.maximum(scz, 0)
+            srow = szi // nscd
+            s_sc = szi % nscd
             sslot = jnp.maximum(midx[srow], 0)
-            scnt = msc.reshape(-1)[jnp.maximum(scz, 0)]
-            spos = msp.reshape(-1)[jnp.maximum(scz, 0)].astype(jnp.int32)
+            scnt = msc.reshape(-1)[szi]
             sS, sB, sQ = unravel_slot(sslot)
-            # single-hit superchunk cells: rank-sum IS the global rank
+            rowS = 8 * (nblk + s_sc // 2) + 4 * (s_sc % 2)
+            smin = kout[sS, sB, rowS + 2, sQ]
+            smax = kout[sS, sB, rowS + 3, sQ]
             hqS = q_of(sslot)
-            qiS = jnp.minimum(hqS, n - 1)
-            cS1 = vsz & (scnt == 1.0) & (hqS < n)
-            loS, hiS, occS = gather_entries(entries,
-                                            boff[sS, sB] + spos, sS)
-            mS_, cS_ = pair_scores(q_lo[qiS], q_hi[qiS], loS, hiS,
-                                   occS, cS1)
-            hqS_eff = jnp.where(cS1, hqS, n)
-            mit_sums = mit_sums.at[hqS_eff].add(mS_)
-            cfd_sums = cfd_sums.at[hqS_eff].add(cS_)
-            # multi-hit superchunk cells -> their chunk cells
-            c2sc = vsz & (scnt >= 2.0)
+            mS_, cS_ = score_direct(sS, sB, hqS,
+                                    jnp.where(vsz, scnt, 0.0),
+                                    smin, smax, vsz)
+            mit_sums = mit_sums.at[hqS].add(mS_)
+            cfd_sums = cfd_sums.at[hqS].add(cS_)
+            # >=3-hit superchunk cells -> their chunk cells
+            c2sc = vsz & (scnt >= 3.0)
             n_sr = jnp.sum(c2sc.astype(jnp.int32))
             sridx = _compact_indices(c2sc, capsr)
             vsr = (sridx >= 0)[:, None]
@@ -663,22 +763,17 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
                   + jnp.arange(superchunk, dtype=jnp.int32)[None, :])
             ch_ok = ch < nchd      # the last superchunk may overhang
             chc = jnp.minimum(ch, nchd - 1)
-            rowc2 = 8 * (chc // 4) + 2 * (chc % 4)
+            rowc2 = 8 * (chc // 2) + 4 * (chc % 2)
             mc = jnp.where(vsr & ch_ok,
                            kout[sS2[:, None], sB2[:, None], rowc2,
-                                sQ2[:, None]], 0.0)
-            mp = jnp.where(vsr & ch_ok,
-                           kout[sS2[:, None], sB2[:, None], rowc2 + 1,
                                 sQ2[:, None]], 0.0)
             width = superchunk
             chfun = lambda mzc: ch.reshape(-1)[mzc]
         else:
             chj = jnp.arange(nchd, dtype=jnp.int32)
-            rowc = 8 * (chj // 4) + 2 * (chj % 4)   # cnt row of chunk j
+            rowc = 8 * (chj // 2) + 4 * (chj % 2)   # cnt row of chunk j
             mc = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
                                     rowc[None, :], q2_[:, None]], 0.0)
-            mp = jnp.where(vm, kout[s2_[:, None], b2_[:, None],
-                                    rowc[None, :] + 1, q2_[:, None]], 0.0)
             src_slot = jnp.maximum(midx, 0)
             width = nchd
             chfun = lambda mzc: mzc % nchd
@@ -690,21 +785,22 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
         mchk = chfun(mzc)
         mslot = src_slot[mrow]
         mcnt = mc.reshape(-1)[mzc]
-        mpos = mp.reshape(-1)[mzc].astype(jnp.int32)
-        sM, bM, _ = unravel_slot(mslot)
+        sM, bM, qM = unravel_slot(mslot)
+        mchk_c = jnp.minimum(mchk, nchd - 1)
+        rowM = 8 * (mchk_c // 2) + 4 * (mchk_c % 2)
+        mmin = kout[sM, bM, rowM + 2, qM]
+        mmax = kout[sM, bM, rowM + 3, qM]
         hqM = q_of(mslot)
-        qiM = jnp.minimum(hqM, n - 1)
-        cM1 = vz & (mcnt == 1.0) & (hqM < n)
-        loM, hiM, occM = gather_entries(entries, boff[sM, bM] + mpos, sM)
-        mM_, cM_ = pair_scores(q_lo[qiM], q_hi[qiM], loM, hiM, occM, cM1)
-        hqM_eff = jnp.where(cM1, hqM, n)
-        mit_sums = mit_sums.at[hqM_eff].add(mM_)
-        cfd_sums = cfd_sums.at[hqM_eff].add(cM_)
+        mM_, cM_ = score_direct(sM, bM, hqM,
+                                jnp.where(vz, mcnt, 0.0),
+                                mmin, mmax, vz)
+        mit_sums = mit_sums.at[hqM].add(mM_)
+        cfd_sums = cfd_sums.at[hqM].add(cM_)
         if _STAGES < 3:
             header = jnp.stack([n1, nm, n_sc, n_sr, nc] + [jnp.int32(0)] * 3)
             return header, mit_sums[:n], cfd_sums[:n]
 
-        # 3) multi-hit chunks: rescan-and-score all <=chunk entries
+        # 3) >=3-hit chunks: rescan-and-score all <=chunk entries
         # INLINE (elementwise + row sum; no hit extraction — compacting
         # the sparse hits first costs a pairs-sized flat cumsum that
         # measures 3x slower than scoring everything in one fused pass,
@@ -713,7 +809,7 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
         # 20-bit mask packing — and CFD selects from a per-ROW penalty
         # table (the query is fixed per row), so the only pair-level
         # table op is a 4-way select.
-        c2 = vz & (mcnt >= 2.0)
+        c2 = vz & (mcnt >= 3.0)
         n2c = jnp.sum(c2.astype(jnp.int32))
         ridx = _compact_indices(c2, capr)
         # blocked rescan: lax.map over row-blocks of <=rescan_block

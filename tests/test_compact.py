@@ -82,6 +82,34 @@ def test_compact_overflow_splits_pages(data):
     np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
 
 
+def test_compact_auto_caps_tunes_and_grows(data):
+    """Auto-cap mode: the first page tunes every cap to ~1.5x its
+    measured population; a later overflow grows the exceeded cap and
+    retries the page (no splitting) — results match brute force."""
+    index, queries = data
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+    sc = CompactIsslScorer(index, max_dist=4, query_page=16, chunk=1024,
+                           auto_caps=True, interpret=True)
+    mit, cfd = sc.score_sums(queries)
+    assert sc._tuned
+    # caps were shrunk from the 1<<17 defaults to quantized populations
+    assert sc.cap_single < (1 << 17)
+    assert all(c >= p for c, p in zip(sc._caps(), sc.page_stats[0]))
+    np.testing.assert_allclose(mit, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
+
+    # force a grow: start from caps tuned far below the real populations
+    sc2 = CompactIsslScorer(index, max_dist=4, query_page=64, chunk=1024,
+                            nz_cap=8, auto_caps=True, interpret=True)
+    sc2._tuned = True            # skip first-page tuning; caps stay tiny
+    m2, c2 = sc2.score_sums(queries)
+    assert len(sc2.page_stats) > 1          # at least one grow-and-retry
+    assert sc2.cap_single > 8               # the cap actually grew
+    np.testing.assert_allclose(m2, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(c2, cfd_b, rtol=1e-5, atol=1e-5)
+
+
 def test_hybrid_with_compact_verdicts(data):
     """HybridIsslScorer accepts the compact engine as its fast path; the
     combined scorer's verdicts match the bit-exact oracle for the two
