@@ -17,7 +17,8 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).resolve().parent
-_SRCS = [_HERE / "extract.cpp", _HERE / "fold.cpp", _HERE / "replay.cpp"]
+_SRCS = [_HERE / "extract.cpp", _HERE / "fold.cpp", _HERE / "replay.cpp",
+         _HERE / "exact.cpp"]
 _LIB = _HERE / "_libcrackling_native.so"
 _lock = threading.Lock()
 _lib = None
@@ -90,6 +91,13 @@ def get_lib():
         lib.ct_replay_accumulate.argtypes = [
             i64p, i64, f64p, f64p, u8p, ctypes.c_int, ctypes.c_double,
             f64wp, f64wp]
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.ct_exact_score.restype = None
+        lib.ct_exact_score.argtypes = [
+            u64p, u32p, i64, i32p, i64p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u64p, i64, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            f64p, f64p, ctypes.c_double, f64wp, f64wp]
         lib.ct_fold_batch.restype = ctypes.c_int
         lib.ct_fold_batch.argtypes = [
             u8p, i64, i64, f64p, i64, f64p,
@@ -163,6 +171,43 @@ def replay_accumulate_native(starts: np.ndarray, mit_c: np.ndarray,
         np.ascontiguousarray(keep, dtype=np.uint8),
         _REPLAY_METHODS[method], float(maximum_sum), out_m, out_cc)
     return out_m, out_cc
+
+
+def exact_score_native(index, query_sigs: np.ndarray, max_dist: int,
+                       threshold: float | None, method: str):
+    """Reference-exact f64 MIT/CFD scores on the host (exact.cpp),
+    parallel across queries — the hybrid engine's near-threshold
+    re-score path at depths where the MXU engine no longer fits HBM.
+    Returns (mit_scores, cfd_scores) already 10000/(100+sum)-mapped, or
+    None when the native lib is missing or the layout is unsupported
+    (the collapsed-mask dedup bytes require w == 8, l == 20)."""
+    lib = get_lib()
+    if lib is None or index.slice_width != 8 or index.seq_length != 20:
+        return None
+    from ..ops.tables import (CFD_PAM_NGG_INDEX, cfd_pam_penalties,
+                              cfd_pos_penalties, mit_dense_table)
+
+    queries = np.ascontiguousarray(query_sigs, dtype=np.uint64)
+    sites = np.ascontiguousarray(index.site_sigs, dtype=np.uint64)
+    occ = np.ascontiguousarray(index.occurrences, dtype=np.uint32)
+    order = np.ascontiguousarray(index.order, dtype=np.int32)
+    boff = np.ascontiguousarray(index.bucket_offsets, dtype=np.int64)
+    mit_tab = np.ascontiguousarray(
+        mit_dense_table(index.seq_length, max_dist), dtype=np.float64)
+    pos_pen = np.ascontiguousarray(cfd_pos_penalties(), dtype=np.float64)
+    pam = float(cfd_pam_penalties()[CFD_PAM_NGG_INDEX])
+    maximum_sum = (float("inf") if threshold is None or threshold <= 0
+                   else (10000.0 - threshold * 100.0) / threshold)
+    n_q = queries.shape[0]
+    mit = np.empty(n_q, dtype=np.float64)
+    cfd = np.empty(n_q, dtype=np.float64)
+    lib.ct_exact_score(
+        sites, occ, sites.shape[0], order, boff,
+        int(index.slice_count), int(index.bucket_count),
+        int(index.slice_width), queries, n_q, int(max_dist),
+        maximum_sum, _REPLAY_METHODS[method], mit_tab.reshape(-1),
+        pos_pen.reshape(-1), pam, mit, cfd)
+    return 10000.0 / (100.0 + mit), 10000.0 / (100.0 + cfd)
 
 
 def extract_offtargets_native(seq_bytes: bytes, to_upper: bool) -> np.ndarray | None:

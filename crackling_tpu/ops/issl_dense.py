@@ -455,6 +455,22 @@ class DenseIsslScorer:
         return 10000.0 / (100.0 + mit_sum), 10000.0 / (100.0 + cfd_sum)
 
 
+class _NativeExact:
+    """score() adapter over native.exact_score_native (exact.cpp)."""
+
+    def __init__(self, index, max_dist, threshold, method):
+        self.index = index
+        self.max_dist = max_dist
+        self.threshold = threshold
+        self.method = method
+
+    def score(self, sigs):
+        from .. import native
+
+        return native.exact_score_native(self.index, sigs, self.max_dist,
+                                         self.threshold, self.method)
+
+
 class HybridIsslScorer:
     """Dense-engine speed with reference-exact verdicts for all 5 methods.
 
@@ -502,6 +518,7 @@ class HybridIsslScorer:
                       else DenseIsslScorer(index, max_dist=max_dist,
                                            **dense_kw))
         self._exact = None
+        self._exact_x64 = False
 
     def _get_exact(self):
         if self._exact is None:
@@ -511,15 +528,52 @@ class HybridIsslScorer:
                 self._exact = MxuIsslScorer(
                     self.index, max_dist=self.max_dist, method=self.method,
                     threshold=self.threshold)
+                self._exact_x64 = False
             except ValueError:
-                # bucket too deep for the MXU rank bound: the order-exact
-                # XLA engine gives the same reference-exact re-scores
+                # bucket too deep for the MXU rank bound, or one-hot
+                # planes too big for HBM next to the fast engine's
+                # (mammal-genome depth): re-score on the HOST in true
+                # f64. First choice is the native C scanner (the same
+                # per-query bucket walk the binary runs, OpenMP across
+                # queries — native/exact.cpp); without a toolchain, the
+                # order-exact XLA engine on the CPU backend (~7 guides/s
+                # at mouse depth vs the binary's ~300 — correct but
+                # slow). x64 is toggled around each XLA trace/call (this
+                # jax build has no scoped context; jit caches key on the
+                # mode).
+                from .. import native
+
+                if native.exact_score_native(
+                        self.index, np.empty(0, np.uint64), self.max_dist,
+                        self.threshold, self.method) is not None:
+                    self._exact = _NativeExact(self.index, self.max_dist,
+                                               self.threshold, self.method)
+                    self._exact_x64 = False
+                    return self._exact
+                import jax
+
                 from .issl_jax import IsslScorer
 
-                self._exact = IsslScorer(
-                    self.index, max_dist=self.max_dist, method=self.method,
-                    threshold=self.threshold)
+                cpu = jax.devices("cpu")[0]
+                with self._x64():
+                    self._exact = IsslScorer(
+                        self.index, max_dist=self.max_dist,
+                        method=self.method, threshold=self.threshold,
+                        dtype=np.float64, device=cpu)
+                self._exact_x64 = True
         return self._exact
+
+    class _x64:
+        """try/finally x64 toggle (restores the previous mode)."""
+
+        def __enter__(self):
+            import jax
+            self.prev = bool(jax.config.jax_enable_x64)
+            jax.config.update("jax_enable_x64", True)
+
+        def __exit__(self, *exc):
+            import jax
+            jax.config.update("jax_enable_x64", self.prev)
 
     def _near_threshold(self, mit, cfd):
         thr, band = self.threshold, self.band
@@ -541,7 +595,12 @@ class HybridIsslScorer:
         mit, cfd = self.dense.score(sigs)
         near = self._near_threshold(mit, cfd)
         if near.any():
-            em, ec = self._get_exact().score(sigs[near])
+            exact = self._get_exact()
+            if self._exact_x64:
+                with self._x64():
+                    em, ec = exact.score(sigs[near])
+            else:
+                em, ec = exact.score(sigs[near])
             mit[near] = em
             cfd[near] = ec
         return mit, cfd

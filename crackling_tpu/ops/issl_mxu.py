@@ -45,6 +45,7 @@ cover exactly the reference's reachable hit set.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -185,6 +186,23 @@ class MxuIsslScorer:
         self.interpret = interpret
         self.S = index.slice_count
         self.B = index.bucket_count
+
+        # HBM feasibility BEFORE any device work: the one-hot planes are
+        # S x Epad x 128 int8 (~640 B per site occurrence-slot) — at
+        # mammal-genome depth that is tens of GB and the device_put dies
+        # with an uncatchable backend error, never reaching the rank
+        # bound below. Raise the same ValueError contract so callers
+        # (HybridIsslScorer._get_exact) fall back to the exact XLA
+        # engine instead of crashing.
+        budget = int(os.environ.get("CRACKLING_TPU_MXU_PLANE_BUDGET",
+                                    4 << 30))
+        need = self.S * index.num_sites * 128
+        if not self.interpret and need > budget:
+            raise ValueError(
+                f"one-hot planes need ~{need / 1e9:.1f} GB "
+                f"(> {budget / 1e9:.1f} GB budget) at "
+                f"{index.num_sites:,} sites; use IsslScorer "
+                "(ops/issl_jax.py) for this index")
 
         self._build_device_planes()
 

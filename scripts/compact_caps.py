@@ -98,9 +98,9 @@ def main():
         return rec
 
     base = timed("default")
-    n1, nm, nsc, nsr, nc, n2c, n3 = base["pops"]
-    log(f"populations: single={n1} mslot={nm} scell={nsc} sresc={nsr} "
-        f"mcell={nc} rescan={n2c} hits={n3}")
+    n1, nm, nsc, nsr, nc, n2c, _ = base["pops"]
+    log(f"populations: direct={n1} mslot={nm} scell={nsc} sresc={nsr} "
+        f"mcell={nc} rescan={n2c}")
 
     # tight variant: ~2x headroom over measured, rounded up to 1K
     def up(x):

@@ -268,8 +268,16 @@ def main():
     msuf = "" if args.method == "and" else f".{args.method}"
     refout = DATA / f"{tag}.refout{n_ref}{msuf}.txt"
     results_path = ROOT / "scripts" / "scale_rung_results.jsonl"
+    study_path = ROOT / "scripts" / "baseline_study_results.jsonl"
     cached_rate = None
-    if args.reuse_ref and results_path.exists():
+    if args.reuse_ref and args.method == "and" and study_path.exists():
+        # prefer the controlled interleaved study (best-of-rounds): the
+        # ad-hoc per-run timings proved load-sensitive by up to 5x
+        for line in study_path.read_text().splitlines():
+            rec = json.loads(line)
+            if rec.get("n_queries") == n_ref:
+                cached_rate = rec.get(f"g{args.gbp:g}b_best", cached_rate)
+    if args.reuse_ref and cached_rate is None and results_path.exists():
         for line in results_path.read_text().splitlines():
             rec = json.loads(line)
             if (rec.get("genome_gbp") == args.gbp

@@ -92,6 +92,41 @@ def test_hybrid_verdict_exact(data):
     np.testing.assert_array_equal(cfd_a, cfd_e)
 
 
+def test_hybrid_cpu_f64_fallback(data, monkeypatch):
+    """When the MXU engine is infeasible (rank bound, or one-hot planes
+    too big for HBM at mammal depth), the hybrid re-scores on the CPU
+    backend in true f64 — still equal to the reference-exact emulation
+    to the last bit, and the global x64 flag is restored afterwards."""
+    import jax
+
+    from crackling_tpu.ops import issl_mxu
+    from crackling_tpu.ops.issl_dense import HybridIsslScorer
+    from crackling_tpu.ops.oracle import score_exact
+
+    def refuse(self, *a, **k):
+        raise ValueError("one-hot planes need too much HBM (test)")
+
+    monkeypatch.setattr(issl_mxu.MxuIsslScorer, "__init__", refuse)
+    # also disable the (preferred) native C re-scorer so the last-resort
+    # XLA-on-CPU path is the one under test
+    from crackling_tpu import native
+    monkeypatch.setattr(native, "exact_score_native",
+                        lambda *a, **k: None)
+
+    index, queries = data
+    thr = 90.0
+    mit_e, cfd_e = score_exact(index, queries, 4, thr, "avg")
+    hy = HybridIsslScorer(index, max_dist=4, method="avg", threshold=thr,
+                          band=np.inf, query_page=64, chunk=1024,
+                          interpret=True)
+    prev_x64 = bool(jax.config.jax_enable_x64)
+    mit, cfd = hy.score(queries)
+    assert hy._exact_x64, "fallback path not taken"
+    assert bool(jax.config.jax_enable_x64) == prev_x64
+    np.testing.assert_array_equal(mit, mit_e)
+    np.testing.assert_array_equal(cfd, cfd_e)
+
+
 def test_hybrid_avg_early_exit_accept():
     """The reference's ``avg`` early exit freezes both sums when the
     average of the SUMS crosses the limit, while the pipeline thresholds
