@@ -196,7 +196,18 @@ class MxuIsslScorer:
         # engine instead of crashing.
         budget = int(os.environ.get("CRACKLING_TPU_MXU_PLANE_BUDGET",
                                     4 << 30))
-        need = self.S * index.num_sites * 128
+        # per-slice plane width is Epad — the ALIGN-padded layout
+        # device_arrays_aligned produces (every bucket start rounded up
+        # to ALIGN plus the chunk tail), not the raw site count; at
+        # genome scale with 256 buckets/slice the padding is small, but
+        # on skewed or small indexes it can exceed the raw count by
+        # whole ALIGN multiples per bucket and the raw estimate
+        # under-budgets exactly the OOM this check exists to prevent
+        lens = np.diff(index.bucket_offsets, axis=1)
+        alens = -(-lens // ALIGN) * ALIGN
+        epad = int(alens.sum(axis=1).max()) + self.chunk
+        epad = -(-epad // ALIGN) * ALIGN
+        need = self.S * epad * 128
         if not self.interpret and need > budget:
             raise ValueError(
                 f"one-hot planes need ~{need / 1e9:.1f} GB "

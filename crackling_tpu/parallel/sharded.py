@@ -287,6 +287,9 @@ class ShardedDenseIsslScorer:
     (pipeline ``engine = sharded``) for reference-exact verdicts.
     """
 
+    # dense-tier accuracy (bf16-split log-matmuls): the wide band
+    score_band = 1.0
+
     def __init__(self, index: IsslIndex | None, mesh: Mesh,
                  max_dist: int | None = None, query_page: int = 65536,
                  chunk: int = 4096, qb_cap: int = 512,
@@ -490,6 +493,10 @@ class ShardedCompactIsslScorer:
     hybrid near-threshold re-score for reference-exact verdicts on all
     five methods.
     """
+
+    # per-shard score path is the compact engine's plain-f32 tier; the
+    # cross-shard psum adds one f32 reduction — same band as single-chip
+    score_band = 0.05
 
     def __init__(self, index: IsslIndex | None, mesh: Mesh,
                  max_dist: int | None = None, query_page: int = 65536,

@@ -77,28 +77,36 @@ class GuideTable:
             yield [self.col[c][i] for c in GUIDE_COLUMNS]
 
 
-# Average-bucket-depth crossover between the compact and dense TPU
-# engines (entries per slice bucket = num_sites / 256 at w=8). Below it
-# the compact two-phase engine wins (mask matmul + sparse decode, the
-# bench headline); above it bucket depth inflates the decode's chunk-
-# cell expansion and hit populations until the dense engine's flat
-# per-entry epilogue is faster. Round-3 measurements: compact 3.7K vs
-# dense 18.5K guides/s at 435K average depth (mouse rung), compact
-# ~290K vs dense ~220K at 20K depth (27 Mbp bench) — the crossover sits
-# between; 100K is the midpoint STATUS.md's round-3 analysis names.
-COMPACT_DEPTH_CROSSOVER = 100_000
-
-
 def select_auto_engine(index, backend: str) -> str:
-    """Resolve ``engine = auto``: the depth-aware TPU engine choice.
+    """Resolve ``engine = auto``: the TPU fast-engine choice for the
+    hybrid pipeline path.
+
+    The pick is **compact at every depth** (round-5 crossover
+    re-measurement, scripts/scale_rung_results.jsonl). What auto builds
+    is the HYBRID — fast engine + bit-exact re-score of near-threshold
+    queries — and the hybrid's throughput is fast-engine speed minus the
+    re-score volume, which is set by the engine's score accuracy
+    (score_band). The raw dense engine out-scans raw compact at mammal
+    depth (18.5K vs 11.4K guides/s at the mouse rung), but its
+    bf16-split scores need a 1.0-unit re-score band that sends ~10% of
+    queries to the host-speed exact scanner (hybrid-dense: 806 guides/s
+    there), while compact's plain-f32 scores are ~1e-4-exact, its 0.05
+    band re-scores ~0.4% (71 of 16,384), and hybrid-compact holds 8,215
+    guides/s (27.6x the controlled baseline) with accepted-score
+    agreement 1.0. At the shallow end compact also wins raw (295K vs
+    221K at the bench point), so the round-4 depth crossover
+    (``COMPACT_DEPTH_CROSSOVER = 100_000``, tuned against the
+    pre-pair-moment compact engine) is gone. The construction-time
+    fallback chain still applies: a bucket beyond the compact decoder's
+    2^22 rank bound falls back to dense (``_get_issl_scorer``).
 
     The reference has one scan loop whatever the index depth
-    (isslScoreOfftargets.cpp:344-461); here each depth regime has a
-    dedicated engine and auto picks by average bucket depth."""
+    (isslScoreOfftargets.cpp:344-461); non-default operating points
+    (seqLength != 20 or sliceWidth != 8) and non-TPU backends run the
+    general XLA engine."""
     if backend != "tpu" or index.seq_length != 20 or index.slice_width != 8:
         return "xla"
-    avg_depth = index.num_sites / index.bucket_count
-    return "compact" if avg_depth <= COMPACT_DEPTH_CROSSOVER else "dense"
+    return "compact"
 
 
 def _batched(idx: np.ndarray, page_len: int):

@@ -107,12 +107,15 @@ def main():
     ap.add_argument("--pool-mbp", type=int, default=600)
     ap.add_argument("--queries", type=int, default=16384)
     ap.add_argument("--ref-queries", type=int, default=512)
-    ap.add_argument("--engine",
-                    choices=("pallas", "dense", "compact", "hybrid"),
-                    default="pallas",
-                    help="hybrid = the pipeline path: engine=auto's "
-                         "depth-aware compact/dense pick wrapped in the "
-                         "bit-exact near-threshold re-score")
+    ap.add_argument("--engine", default="pallas",
+                    help="comma-separated list from {pallas, dense, "
+                         "compact, hybrid, hybrid-compact, hybrid-dense} "
+                         "— all timed in one process on one index "
+                         "upload. hybrid = the pipeline path: "
+                         "engine=auto's fast-engine pick wrapped in the "
+                         "bit-exact near-threshold re-score; "
+                         "hybrid-compact / hybrid-dense pin the fast "
+                         "path explicitly (crossover-tuning)")
     ap.add_argument("--method", default="and",
                     choices=("mit", "cfd", "and", "or", "avg"),
                     help="scoring method for our engine, the reference "
@@ -128,6 +131,11 @@ def main():
                          "timing a second engine on a deep rung without "
                          "repaying hours of C++ baseline")
     args = ap.parse_args()
+    valid = {"pallas", "dense", "compact", "hybrid", "hybrid-compact",
+             "hybrid-dense"}
+    bad = set(args.engine.split(",")) - valid
+    if bad:
+        ap.error(f"unknown engine(s): {sorted(bad)}")
 
     DATA.mkdir(parents=True, exist_ok=True)
     tag = f"g{args.gbp:g}b"
@@ -184,50 +192,68 @@ def main():
     queries = queries[: args.queries]
     log(f"{queries.shape[0]} queries")
 
-    # ---- our engine on the real chip ----
+    # ---- our engine(s) on the real chip ----
     import jax
 
     log(f"devices: {jax.devices()}")
-    if args.engine == "dense":
-        from crackling_tpu.ops.issl_dense import DenseIsslScorer as Engine
-    elif args.engine == "compact":
-        from crackling_tpu.ops.issl_compact import \
-            CompactIsslScorer as Engine
-    elif args.engine == "hybrid":
-        # the pipeline path: engine=auto's depth-aware fast-engine pick
-        # wrapped in HybridIsslScorer's near-threshold bit-exact re-score
-        # (what `[tpu] engine = auto` actually runs)
-        from crackling_tpu.ops.issl_compact import CompactIsslScorer
-        from crackling_tpu.ops.issl_dense import (DenseIsslScorer,
-                                                  HybridIsslScorer)
-        from crackling_tpu.pipeline.run import select_auto_engine
 
-        fast_name = select_auto_engine(index, jax.default_backend())
-        log(f"hybrid fast path: {fast_name}")
-        results["hybrid_fast"] = fast_name
-        fast_cls = (CompactIsslScorer if fast_name == "compact"
-                    else DenseIsslScorer)
+    def make_engine(name, res):
+        if name == "dense":
+            from crackling_tpu.ops.issl_dense import \
+                DenseIsslScorer as Engine
+        elif name == "compact":
+            from crackling_tpu.ops.issl_compact import \
+                CompactIsslScorer as Engine
+        elif name.startswith("hybrid"):
+            # the pipeline path: a fast engine wrapped in
+            # HybridIsslScorer's near-threshold bit-exact re-score (what
+            # `[tpu] engine = auto` actually runs). Bare "hybrid" uses
+            # select_auto_engine's pick; the suffixed forms pin it
+            # (crossover-tuning measurements).
+            from crackling_tpu.ops.issl_compact import CompactIsslScorer
+            from crackling_tpu.ops.issl_dense import (DenseIsslScorer,
+                                                      HybridIsslScorer)
+            from crackling_tpu.pipeline.run import select_auto_engine
 
-        def Engine(index, max_dist):
-            return HybridIsslScorer(index, max_dist=max_dist,
-                                    method=args.method, threshold=75.0,
-                                    dense=fast_cls(index,
-                                                   max_dist=max_dist))
-    else:
-        from crackling_tpu.ops.issl_pallas import PallasIsslScorer as Engine
+            if name == "hybrid":
+                fast_name = select_auto_engine(index, jax.default_backend())
+            else:
+                fast_name = name.split("-", 1)[1]
+            log(f"hybrid fast path: {fast_name}")
+            res["hybrid_fast"] = fast_name
+            fast_cls = (CompactIsslScorer if fast_name == "compact"
+                        else DenseIsslScorer)
 
-    t0 = time.time()
-    scorer = Engine(index, max_dist=4)
-    mit, cfd = scorer.score(queries)      # compile + warm
-    log(f"compile+warm {time.time() - t0:.0f}s")
-    dt = float("inf")
-    for _ in range(3):
+            def Engine(index, max_dist):
+                hyb = HybridIsslScorer(index, max_dist=max_dist,
+                                       method=args.method, threshold=75.0,
+                                       dense=fast_cls(index,
+                                                      max_dist=max_dist))
+                res["hybrid_band"] = hyb.band
+                return hyb
+        else:
+            from crackling_tpu.ops.issl_pallas import \
+                PallasIsslScorer as Engine
+        return Engine
+
+    def time_engine(name, res):
+        Engine = make_engine(name, res)
         t0 = time.time()
-        mit, cfd = scorer.score(queries)
-        dt = min(dt, time.time() - t0)
-    ours_rate = queries.shape[0] / dt
-    results["ours_guides_per_s"] = round(ours_rate, 1)
-    log(f"ours: {dt:.2f}s -> {ours_rate:,.0f} guides/s")
+        scorer = Engine(index, max_dist=4)
+        mit, cfd = scorer.score(queries)      # compile + warm
+        log(f"[{name}] compile+warm {time.time() - t0:.0f}s")
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            mit, cfd = scorer.score(queries)
+            dt = min(dt, time.time() - t0)
+        ours_rate = queries.shape[0] / dt
+        res["ours_guides_per_s"] = round(ours_rate, 1)
+        if hasattr(scorer, "last_rescored"):
+            res["rescored"] = scorer.last_rescored
+            log(f"[{name}] hybrid exact re-scores: {scorer.last_rescored}")
+        log(f"[{name}] ours: {dt:.2f}s -> {ours_rate:,.0f} guides/s")
+        return mit, cfd
 
     # ---- reference baseline (two-size, load time removed) ----
     refbin = ROOT / "bench_data" / "refbin" / "isslScoreOfftargets"
@@ -302,8 +328,6 @@ def main():
         log(f"reference: t(N)={t1:.0f}s t(5N)={t5:.0f}s -> {ref_rate:,.0f} "
             f"guides/s")
     results["ref_guides_per_s"] = round(ref_rate, 1)
-    results["vs_baseline"] = round(ours_rate / ref_rate, 2)
-    log(f"ratio {results['vs_baseline']}x")
 
     # parity at scale: full-scan engines report complete sums where the
     # reference freezes early-exit partials for REJECTED guides (PARITY
@@ -313,23 +337,37 @@ def main():
     lines = out1.strip().split("\n")
     ref_mit = np.array([float(l.split("\t")[1]) for l in lines])
     ref_cfd = np.array([float(l.split("\t")[2]) for l in lines])
-    our_mit = mit[: len(ref_mit)]
-    our_cfd = cfd[: len(ref_mit)]
     ref_ok = verdicts(ref_mit, ref_cfd, 75.0, args.method)
-    our_ok = verdicts(our_mit, our_cfd, 75.0, args.method)
-    verdict_agree = float(np.mean(ref_ok == our_ok))
-    acc = ref_ok & our_ok
-    score_agree = float(np.mean(
-        (np.abs(our_mit[acc] - ref_mit[acc]) < 2e-2)
-        & (np.abs(our_cfd[acc] - ref_cfd[acc]) < 2e-2))) if acc.any() else 1.0
-    results["verdict_agreement"] = verdict_agree
-    results["accepted_score_agreement"] = score_agree
-    log(f"verdict agreement: {verdict_agree:.4f}; accepted-score "
-        f"agreement: {score_agree:.4f} ({int(acc.sum())} accepted)")
 
-    with open(ROOT / "scripts" / "scale_rung_results.jsonl", "a") as fp:
-        fp.write(json.dumps(results) + "\n")
-    print(json.dumps(results))
+    # each engine (comma-separated) scores on the one uploaded dataset;
+    # a fresh process per engine would repay the index load + h2d upload
+    # (minutes at mammal scale) every time
+    import gc
+
+    for engine_name in args.engine.split(","):
+        res = dict(results)
+        res["engine"] = engine_name
+        mit, cfd = time_engine(engine_name, res)
+        res["vs_baseline"] = round(res["ours_guides_per_s"] / ref_rate, 2)
+        log(f"[{engine_name}] ratio {res['vs_baseline']}x")
+        our_mit = mit[: len(ref_mit)]
+        our_cfd = cfd[: len(ref_mit)]
+        our_ok = verdicts(our_mit, our_cfd, 75.0, args.method)
+        verdict_agree = float(np.mean(ref_ok == our_ok))
+        acc = ref_ok & our_ok
+        score_agree = float(np.mean(
+            (np.abs(our_mit[acc] - ref_mit[acc]) < 2e-2)
+            & (np.abs(our_cfd[acc] - ref_cfd[acc]) < 2e-2))) \
+            if acc.any() else 1.0
+        res["verdict_agreement"] = verdict_agree
+        res["accepted_score_agreement"] = score_agree
+        log(f"[{engine_name}] verdict agreement: {verdict_agree:.4f}; "
+            f"accepted-score agreement: {score_agree:.4f} "
+            f"({int(acc.sum())} accepted)")
+        with open(ROOT / "scripts" / "scale_rung_results.jsonl", "a") as fp:
+            fp.write(json.dumps(res) + "\n")
+        print(json.dumps(res))
+        gc.collect()    # drop the engine's device arrays before the next
 
 
 if __name__ == "__main__":

@@ -110,6 +110,35 @@ def test_compact_auto_caps_tunes_and_grows(data):
     np.testing.assert_allclose(c2, cfd_b, rtol=1e-5, atol=1e-5)
 
 
+def test_multi_page_auto_caps_overflow(data):
+    """Dispatch-time caps, not drain-time caps, gate the overflow check.
+
+    Two pages dispatch in one batch under the same small caps; page 1's
+    overflow grows self._caps() mid-drain. Page 2 ran on device with the
+    OLD caps (its compaction truncated at them), so it must be detected
+    as overflowed against those dispatch-time caps and retried — a
+    drain-time comparison against the grown caps silently accepts its
+    truncated sums (advisor round-4 high finding)."""
+    index, _ = data
+    # both pages are distinct index sites: every query self-hits in >=1
+    # slice, so each 16-query page has >8 direct (1-2 hit) slots and
+    # MUST overflow cap_single=8
+    queries = np.asarray(index.site_sigs[10:42:2], dtype=np.uint64)
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+    sc = CompactIsslScorer(index, max_dist=4, query_page=8, chunk=1024,
+                           nz_cap=4, auto_caps=True, interpret=True)
+    sc._tuned = True      # skip first-page tuning: both pages dispatch
+    mit, cfd = sc.score_sums(queries)  # together under the tiny caps
+    n_pages = -(-queries.shape[0] // 8)
+    assert n_pages >= 2
+    # every page overflowed cap_single=4 (>=8 slice-0 self-hit slots),
+    # so every page must have been retried at the grown caps
+    assert len(sc.page_stats) >= 2 * n_pages
+    np.testing.assert_allclose(mit, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
+
+
 def test_hybrid_with_compact_verdicts(data):
     """HybridIsslScorer accepts the compact engine as its fast path; the
     combined scorer's verdicts match the bit-exact oracle for the two

@@ -288,3 +288,50 @@ def test_multibatch_spill_matches_single_batch(mini_world, tmp_path):
     multi = (outdir / "mini-guides.txt").read_text()
     assert multi == single
     assert not list(outdir.glob("crackling-batches-*")), "spill not cleaned"
+
+
+def test_w4_index_through_pipeline(mini_world, tmp_path):
+    """A sliceWidth=4 index runs through the pipeline on the general XLA
+    engine, and the emitted scores match the bit-exact oracle.
+
+    The reference binary accepts any seqLength <= 32 and even slice
+    width (isslCreateIndex.cpp:135-145); the fast compact/dense/MXU
+    engines here bake in l=20/w=8, so ``engine = auto`` must route other
+    operating points to ops/issl_jax.IsslScorer (README "Engine
+    operating points")."""
+    from crackling_tpu.codec import strings_to_sigs
+    from crackling_tpu.index import build_index, save_native
+    from crackling_tpu.ops.oracle import score_exact
+    from crackling_tpu.pipeline.config import ConfigManager
+    from crackling_tpu.pipeline.run import Crackling, select_auto_engine
+
+    site_strs = mini_world["sites"].read_text().split()
+    sites = strings_to_sigs(site_strs, 20)
+    index4 = build_index(sites, seq_length=20, slice_width=4)
+    assert index4.slice_count == 10
+    npz = tmp_path / "w4.index.npz"
+    save_native(index4, str(npz))
+    # auto never offers a fast engine at w=4, even on TPU
+    assert select_auto_engine(index4, "tpu") == "xla"
+
+    outdir = tmp_path / "w4-out"
+    outdir.mkdir()
+    text = mini_world["config"].read_text().replace(
+        str(mini_world["outdir"]), str(outdir)).replace(
+        str(mini_world["sites"]), str(npz))
+    cfg = tmp_path / "config.ini"
+    cfg.write_text(text)
+    cm = ConfigManager(str(cfg), lambda m: None)
+    assert cm.isConfigured()
+    Crackling(cm)
+
+    rows = list(csv.reader(open(outdir / "mini-guides.txt")))
+    col = {c: i for i, c in enumerate(rows[0])}
+    scored = [r for r in rows[1:] if r[col["mitOfftargetscore"]]
+              not in ("?", "", "-1.0")]
+    assert scored, "no guides reached w=4 off-target scoring"
+    sigs20 = strings_to_sigs([r[col["seq"]][:20] for r in scored], 20)
+    mit_o, cfd_o = score_exact(index4, sigs20, 4, 75.0, "and")
+    for r, mo, co in zip(scored, mit_o, cfd_o):
+        assert abs(float(r[col["mitOfftargetscore"]]) - float(f"{mo:.6f}")) < 1e-9
+        assert abs(float(r[col["cfdOfftargetscore"]]) - float(f"{co:.6f}")) < 1e-9
