@@ -352,8 +352,13 @@ class CompactIsslScorer:
         self.qb_cap = int(qb_cap)
         # compaction capacities: every decode gather/score runs at cap
         # size, so throughput is CAPACITY-bound, not population-bound
-        # (tuning caps to measured populations took the bench point from
-        # 204K to 401K guides/s). ``caps`` pins all seven (direct 1-2
+        # (tuning caps to measured populations lifted the bench point
+        # from ~204K to the reproducible 290-295K guides/s; a one-off
+        # 401K reading during round-4 tuning never reproduced under
+        # bench conditions and is superseded — BENCH_r05 / the roofline
+        # record put the bound at per-grid-step overhead + decode
+        # capacity, ~2% MXU utilization, so headroom remains).
+        # ``caps`` pins all seven (direct 1-2
         # hit slots, >=3-hit slots, nonzero superchunk cells, >=3-hit
         # superchunk cells, nonzero chunk cells, >=3-hit rescan chunks,
         # unused) explicitly and overflow splits the page in half; with

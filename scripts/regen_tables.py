@@ -33,6 +33,7 @@ RUNG_NAMES = {
     0.0046: ("E. coli scale (4.6 Mbp)", "E. coli (4.6 Mbp)"),
     0.012: ("S. cerevisiae scale (12 Mbp)", "yeast (12 Mbp)"),
     0.14: ("D. melanogaster scale (140 Mbp)", "fly (140 Mbp)"),
+    1.0: ("crossover sweep (1.0 Gbp)", "mid-depth (1.0 Gbp, sweep)"),
     2.6: ("mouse scale (2.6 Gbp, repeat-rich)", "mouse (2.6 Gbp, repeat-rich)"),
     3.1: ("human scale (3.1 Gbp)", "human (3.1 Gbp)"),
 }
