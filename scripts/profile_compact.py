@@ -31,30 +31,48 @@ def log(msg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gbp", type=float, default=2.6)
+    ap.add_argument("--bench", action="store_true",
+                    help="profile the 27 Mbp bench operating point "
+                         "(bench_data/g27m.*) instead of a scale rung")
     ap.add_argument("--page", type=int, default=16384)
+    ap.add_argument("--caps", default=None,
+                    help="comma-separated 7 caps; default: the mouse-"
+                         "rung fixed caps (rung mode) or auto (bench)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     from scale_rung import DATA as SCALE_DATA
 
+    from crackling_tpu.codec import strings_to_sigs
     from crackling_tpu.index import load_native
     from crackling_tpu.index.extract import find_candidate_guides_seq
     from crackling_tpu.ops import issl_compact
     from crackling_tpu.ops.issl_compact import CompactIsslScorer
 
-    tag = f"g{args.gbp:g}b"
-    legacy = args.gbp == 2.6 and (SCALE_DATA / "scale.index.npz").exists()
-    index_npz = SCALE_DATA / ("scale.index.npz" if legacy
-                              else f"{tag}.index.npz")
-    index = load_native(str(index_npz))
-    with open(SCALE_DATA / f"{tag}.fa") as fp:
-        fp.readline()
-        seq = "".join(fp.readline().strip() for _ in range(12000))
-    _, _, cand = find_candidate_guides_seq(seq)
-    sigs = np.unique(cand & np.uint64((1 << 40) - 1))
-    rng = np.random.default_rng(7)
-    rng.shuffle(sigs)
-    sigs = sigs[: args.page]
+    if args.bench:
+        index = load_native(str(ROOT / "bench_data" / "g27m.index.npz"))
+        qfile = ROOT / "bench_data" / f"g27m.queries{args.page}.txt"
+        if qfile.exists():
+            sigs = strings_to_sigs(qfile.read_text().split(), 20)
+        else:
+            sigs = strings_to_sigs(
+                (ROOT / "bench_data" / "g27m.queries65536.txt")
+                .read_text().split()[: args.page], 20)
+    else:
+        tag = f"g{args.gbp:g}b"
+        legacy = (args.gbp == 2.6
+                  and (SCALE_DATA / "scale.index.npz").exists())
+        index_npz = SCALE_DATA / ("scale.index.npz" if legacy
+                                  else f"{tag}.index.npz")
+        index = load_native(str(index_npz))
+        with open(SCALE_DATA / f"{tag}.fa") as fp:
+            fp.readline()
+            seq = "".join(fp.readline().strip() for _ in range(12000))
+        _, _, cand = find_candidate_guides_seq(seq)
+        sigs = np.unique(cand & np.uint64((1 << 40) - 1))
+        rng = np.random.default_rng(7)
+        rng.shuffle(sigs)
+        sigs = sigs[: args.page]
 
     results = []
 
@@ -87,7 +105,14 @@ def main():
     # / full. pops measured by the earlier run at this operating point —
     # cap ~1.5x above so the page never splits and decode cost is the
     # caps', not the overflow path's
-    caps = (16384, 98304, 311296, 131072, 163840, 65536, 196608)
+    if args.caps:
+        caps = tuple(int(c) for c in args.caps.split(","))
+    elif args.bench:
+        # the 64K-page bench-point populations (compact_caps study)
+        # quantized ~1.5x up
+        caps = (131072, 65536, 131072, 65536, 131072, 65536, 262144)
+    else:
+        caps = (32768, 98304, 311296, 131072, 327680, 65536, 196608)
     timed("stage1", 1, caps=caps)
     timed("stage2", 2, caps=caps)
     timed("stage3", 3, caps=caps)
