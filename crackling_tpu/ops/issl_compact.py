@@ -113,11 +113,17 @@ def normalize_caps(caps, nz_cap: int):
 
 
 def _quant_cap(pop: int, floor: int = 4096) -> int:
-    """Smallest power of two >= 1.5x the measured population (>= floor):
-    the auto-tuned compaction capacity for a population, quantized so
-    page-to-page variation rarely forces a recompile."""
-    need = max(floor, int(1.5 * pop) + 1)
-    return 1 << (need - 1).bit_length()
+    """Smallest multiple of 4096 >= 1.25x the measured population
+    (>= floor): the auto-tuned compaction capacity for a population.
+    Every decode gather/score runs at cap size, so quantization waste
+    is throughput lost — the earlier power-of-two-at-1.5x rule gave a
+    5.6K rescan population a 16K cap (2.9x the work; the rescan is 40%
+    of the bench-point page, profile_compact_results.jsonl). The 4096
+    grain still absorbs page-to-page population jitter (measured <10%
+    at fixed operating points) without recompiles; a page that does
+    overflow grows its cap and retries like before."""
+    need = max(floor, int(1.25 * pop) + 1)
+    return -(-need // 4096) * 4096
 
 
 def _compact_indices(mask, cap: int):
@@ -351,14 +357,14 @@ class CompactIsslScorer:
         self.chunk = int(chunk)
         self.qb_cap = int(qb_cap)
         # compaction capacities: every decode gather/score runs at cap
-        # size, so throughput is CAPACITY-bound, not population-bound
-        # (tuning caps to measured populations lifted the bench point
-        # from ~204K to the reproducible 290-295K guides/s; a one-off
-        # 401K reading during round-4 tuning never reproduced under
-        # bench conditions and is superseded — BENCH_r05 / the roofline
-        # record put the bound at per-grid-step overhead + decode
-        # capacity, ~2% MXU utilization, so headroom remains).
-        # ``caps`` pins all seven (direct 1-2
+        # size, so throughput is CAPACITY-bound, not population-bound.
+        # Tuning caps to measured populations lifted the bench point
+        # ~204K -> ~293K (round 4, power-of-two caps at 1.5x), and
+        # tightening the quantizer to 4096-grain at 1.25x (_quant_cap)
+        # lifted it again to a reproducible, interleaved-bench 421K
+        # guides/s (round 5) — confirming the stage-ablation profile's
+        # finding that the decode (tree cells + rescan) was ~63% of the
+        # page at the bench point. ``caps`` pins all seven (direct 1-2
         # hit slots, >=3-hit slots, nonzero superchunk cells, >=3-hit
         # superchunk cells, nonzero chunk cells, >=3-hit rescan chunks,
         # unused) explicitly and overflow splits the page in half; with
