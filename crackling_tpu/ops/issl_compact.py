@@ -369,8 +369,8 @@ class CompactIsslScorer:
         # superchunk cells, nonzero chunk cells, >=3-hit rescan chunks,
         # unused) explicitly and overflow splits the page in half; with
         # caps=None on TPU the scorer AUTO-TUNES: the first page runs at
-        # the generous nz_cap defaults, caps shrink to ~1.5x its
-        # measured populations (power-of-two quantized so recompiles
+        # the generous nz_cap defaults, caps shrink to ~1.25x its
+        # measured populations (4096-grain quantized so recompiles
         # stay rare), and later overflows grow the exceeded cap and
         # retry instead of splitting — see scripts/compact_caps.py
         (self.cap_single, self.cap_mslot, self.cap_scell, self.cap_sresc,
@@ -514,7 +514,7 @@ class CompactIsslScorer:
                  for i in range(0, n, self.query_page)]
         if self._auto and not self._tuned and pages:
             # run the first page at the generous defaults, then shrink
-            # every cap to ~1.5x its measured population before
+            # every cap to ~1.25x its measured population before
             # pipelining the rest — the decode runs at cap size, so
             # right-sized caps are worth ~2x at the bench point
             self._run_pages(pages[:1], out_mit, out_cfd)
