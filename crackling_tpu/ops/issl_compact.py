@@ -58,6 +58,7 @@ reference-exact verdicts on all five methods.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -136,6 +137,113 @@ def _compact_indices(mask, cap: int):
         iota, mode="drop")[:cap]
 
 
+def _moment_tail(mom_ref, carry, c, nch, cnt1, pos1, rmin1, rmax1,
+                 *, qb: int, nblk: int, nsb: int, superchunk: int):
+    """Shared finder tail: fold one chunk's (count, global-rank-sum,
+    min rank, max rank) quad — each (1, qb) f32, ranks already global —
+    into the 2-chunk block register, the bucket totals, and (when the
+    tree level is on) the superchunk registers; store blocks at their
+    boundaries. Both finder kernels (packed-unpack and one-hot-plane)
+    produce identical moments, so they share this tail verbatim."""
+    from jax.experimental import pallas as pl
+
+    big = jnp.float32(RANK_SENTINEL)
+    if superchunk:
+        blk, tot, tmin, tmax, scblk, scc, scp, scmin, scmax = carry
+    else:
+        blk, tot, tmin, tmax = carry
+
+    # pack 2 chunks' (cnt, pos, min, max) quads per 8-row block: Mosaic
+    # vector stores need sublane-aligned (multiple-of-8) dynamic
+    # offsets, so the block accumulates in registers and stores once per
+    # 2 chunks (or at the bucket's last chunk) — the min/max pair is
+    # what lets the decode resolve 1-2 hit cells pointwise and skip the
+    # rescan for them entirely
+    k = c % 2
+    # row-iota selects (Mosaic has no register-value
+    # dynamic_update_slice): blk[4k..4k+3] = cnt,pos,min,max
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, qb), 0)
+
+    def put4(reg, base_row, c_, p_, mn_, mx_):
+        reg = jnp.where(rows8 == base_row,
+                        jnp.broadcast_to(c_, (8, qb)), reg)
+        reg = jnp.where(rows8 == base_row + 1,
+                        jnp.broadcast_to(p_, (8, qb)), reg)
+        reg = jnp.where(rows8 == base_row + 2,
+                        jnp.broadcast_to(mn_, (8, qb)), reg)
+        return jnp.where(rows8 == base_row + 3,
+                         jnp.broadcast_to(mx_, (8, qb)), reg)
+
+    blk = put4(blk, 4 * k, cnt1, pos1, rmin1, rmax1)
+    # bucket totals (rows 0-3 of the last block): 1-2 hit slots
+    # resolve from these alone, so the decode never reduces over
+    # the full chunk-moment planes
+    tot = tot + jnp.where(rows8 == 0,
+                          jnp.broadcast_to(cnt1, (8, qb)),
+                          jnp.where(rows8 == 1,
+                                    jnp.broadcast_to(pos1, (8, qb)),
+                                    jnp.zeros((8, qb), jnp.float32)))
+    tmin = jnp.minimum(tmin, rmin1)
+    tmax = jnp.maximum(tmax, rmax1)
+
+    @pl.when((k == 1) | (c == nch - 1))
+    def _():
+        mom_ref[0, 0, pl.ds(8 * (c // 2), 8), :] = blk
+
+    @pl.when(c == nch - 1)
+    def _():
+        mom_ref[0, 0, pl.ds(8 * (nblk + nsb), 8), :] = put4(
+            tot, 0, tot[0:1], tot[1:2], tmin, tmax)
+
+    new_blk = jnp.where(k == 1, jnp.zeros_like(blk), blk)
+    if not superchunk:
+        return (new_blk, tot, tmin, tmax)
+
+    # superchunk moments: the middle tree level. Accumulate the
+    # chunk's quad into the running superchunk registers; at a
+    # superchunk boundary fold them into the 2-superchunk block
+    # register and store the block when full (rows
+    # [8*nblk, 8*(nblk+nsb)), after the chunk blocks, before totals)
+    scc = scc + cnt1
+    scp = scp + pos1
+    scmin = jnp.minimum(scmin, rmin1)
+    scmax = jnp.maximum(scmax, rmax1)
+    j = c // superchunk
+    ksc = j % 2
+    at_end = ((c + 1) % superchunk == 0) | (c == nch - 1)
+    folded = put4(scblk, 4 * ksc, scc, scp, scmin, scmax)
+    scblk = jnp.where(at_end, folded, scblk)
+    store_sc = at_end & ((ksc == 1) | (c == nch - 1))
+
+    @pl.when(store_sc)
+    def _():
+        mom_ref[0, 0, pl.ds(8 * (nblk + j // 2), 8), :] = scblk
+
+    scc = jnp.where(at_end, jnp.zeros_like(scc), scc)
+    scp = jnp.where(at_end, jnp.zeros_like(scp), scp)
+    scmin = jnp.where(at_end, jnp.full_like(scmin, big), scmin)
+    scmax = jnp.where(at_end, jnp.full_like(scmax, -1.0), scmax)
+    scblk = jnp.where(store_sc, jnp.zeros_like(scblk), scblk)
+    return (new_blk, tot, tmin, tmax, scblk, scc, scp, scmin, scmax)
+
+
+def _moment_init(qb: int, superchunk: int):
+    """The fori_loop carry both finder kernels thread through
+    :func:`_moment_tail`."""
+    big = jnp.float32(RANK_SENTINEL)
+    init = (jnp.zeros((8, qb), jnp.float32),
+            jnp.zeros((8, qb), jnp.float32),
+            jnp.full((1, qb), big, jnp.float32),
+            jnp.full((1, qb), -1.0, jnp.float32))
+    if superchunk:
+        init = init + (jnp.zeros((8, qb), jnp.float32),
+                       jnp.zeros((1, qb), jnp.float32),
+                       jnp.zeros((1, qb), jnp.float32),
+                       jnp.full((1, qb), big, jnp.float32),
+                       jnp.full((1, qb), -1.0, jnp.float32))
+    return init
+
+
 def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
                    buf, sems, *, chunk: int, qb: int, nchmax: int,
                    max_dist: int, rows_per_slice: int, superchunk: int):
@@ -178,10 +286,6 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
         cdims = (((0,), (0,)), ((), ()))
 
         def body(c, carry):
-            if superchunk:
-                blk, tot, tmin, tmax, scblk, scc, scp, scmin, scmax = carry
-            else:
-                blk, tot, tmin, tmax = carry
             slot = c % 2
 
             @pl.when(c + 1 < nch)
@@ -236,91 +340,102 @@ def _finder_kernel(boff_ref, blen_ref, wts_ref, entries_hbm, mom_ref,
             # global ranks; the sentinel (no hit) stays put
             rmin1 = jnp.where(min1 < big, min1 + cf, big)
             rmax1 = jnp.where(max1 >= 0.0, max1 + cf, -1.0)
-            # pack 2 chunks' (cnt, pos, min, max) quads per 8-row block:
-            # Mosaic vector stores need sublane-aligned (multiple-of-8)
-            # dynamic offsets, so the block accumulates in registers and
-            # stores once per 2 chunks (or at the bucket's last chunk) —
-            # the min/max pair is what lets the decode resolve 1-2 hit
-            # cells pointwise and skip the rescan for them entirely
-            k = c % 2
-            # row-iota selects (Mosaic has no register-value
-            # dynamic_update_slice): blk[4k..4k+3] = cnt,pos,min,max
-            rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, qb), 0)
+            return _moment_tail(mom_ref, carry, c, nch, cnt1, pos1,
+                                rmin1, rmax1, qb=qb, nblk=nblk, nsb=nsb,
+                                superchunk=superchunk)
 
-            def put4(reg, base_row, c_, p_, mn_, mx_):
-                reg = jnp.where(rows8 == base_row,
-                                jnp.broadcast_to(c_, (8, qb)), reg)
-                reg = jnp.where(rows8 == base_row + 1,
-                                jnp.broadcast_to(p_, (8, qb)), reg)
-                reg = jnp.where(rows8 == base_row + 2,
-                                jnp.broadcast_to(mn_, (8, qb)), reg)
-                return jnp.where(rows8 == base_row + 3,
-                                 jnp.broadcast_to(mx_, (8, qb)), reg)
+        jax.lax.fori_loop(0, nch, body, _moment_init(qb, superchunk))
 
-            blk = put4(blk, 4 * k, cnt1, pos1, rmin1, rmax1)
-            # bucket totals (rows 0-3 of the last block): 1-2 hit slots
-            # resolve from these alone, so the decode never reduces over
-            # the full chunk-moment planes
-            tot = tot + jnp.where(rows8 == 0,
-                                  jnp.broadcast_to(cnt1, (8, qb)),
-                                  jnp.where(rows8 == 1,
-                                            jnp.broadcast_to(pos1, (8, qb)),
-                                            jnp.zeros((8, qb), jnp.float32)))
-            tmin = jnp.minimum(tmin, rmin1)
-            tmax = jnp.maximum(tmax, rmax1)
 
-            @pl.when((k == 1) | (c == nch - 1))
+def _finder_kernel_onehot(boff_ref, blen_ref, wts_ref, planes_hbm, mom_ref,
+                          buf, sems, *, chunk: int, qb: int, nchmax: int,
+                          max_dist: int, superchunk: int):
+    """The finder over PRECOMPUTED int8 one-hot planes (S, Epad, 128).
+
+    Identical moments to :func:`_finder_kernel`, different input layout:
+    the one-hot rows stream from HBM (128 B per site-slice, the MXU
+    engine's plane layout) and the whole chunk is ONE
+    (chunk, 128) x (128, qb) mask matmul — no VPU unpack loop. Measured
+    at the 64K-query bench point this is throughput-NEUTRAL (411K vs
+    the packed kernel's 421K guides/s): with tuned caps, kernel time is
+    dominated by the per-(entry, query-slot) hit-predicate plane
+    (popcount/SWAR/compare + the moment reductions over (chunk, qb)),
+    which both variants share — the unpack the planes eliminate was
+    already overlapped. The variant is kept (default OFF,
+    ``onehot=True`` or the CRACKLING_TPU_COMPACT_ONEHOT env var)
+    because at small query pages qb shrinks, the predicate plane
+    shrinks with it, and the qb-independent unpack becomes the bound —
+    the latency-sensitive regime. Planes cost 128 B/site/slice of HBM
+    and must fit the CRACKLING_TPU_COMPACT_PLANE_BUDGET."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = pl.program_id(0)
+    v = pl.program_id(1)
+    b0 = boff_ref[s, v]
+    blen = blen_ref[s, v]
+    nch = pl.cdiv(blen, jnp.int32(chunk))
+
+    wm = wts_ref[0, 0]                        # (128, qb) bf16 mask weights
+
+    def dma(slot, c):
+        r0 = pl.multiple_of(b0 + c * chunk, ALIGN)
+        return pltpu.make_async_copy(
+            planes_hbm.at[s, pl.ds(r0, chunk), :], buf.at[slot],
+            sems.at[slot])
+
+    nblk = -(-nchmax // 2)
+    nsb = -(-(-(-nchmax // superchunk)) // 2) if superchunk else 0
+    mom_ref[0, 0] = jnp.zeros((8 * (nblk + nsb + 1), qb), jnp.float32)
+    big = jnp.float32(RANK_SENTINEL)
+
+    @pl.when(blen > 0)
+    def _process():
+        dma(0, 0).start()
+        site_sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        low_mask = (jnp.uint32(1) << (4 * s)) - jnp.uint32(1)
+
+        def body(c, carry):
+            slot = c % 2
+
+            @pl.when(c + 1 < nch)
             def _():
-                mom_ref[0, 0, pl.ds(8 * (c // 2), 8), :] = blk
+                dma((c + 1) % 2, c + 1).start()
 
-            @pl.when(c == nch - 1)
-            def _():
-                mom_ref[0, 0, pl.ds(8 * (nblk + nsb), 8), :] = put4(
-                    tot, 0, tot[0:1], tot[1:2], tmin, tmax)
+            dma(slot, c).wait()
+            e = buf[slot].astype(jnp.bfloat16)        # (chunk, 128)
+            maskf = jax.lax.dot_general(
+                e, wm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (chunk, qb)
+            mi_raw = maskf.astype(jnp.int32)
+            dist = jax.lax.population_count(mi_raw)
+            x = mi_raw.astype(jnp.uint32) | ~low_mask
+            seen_earlier = ((x - jnp.uint32(0x11111111)) & ~x
+                            & jnp.uint32(0x88888888)) != 0
+            in_bucket = (site_sub + c * chunk) < blen
+            valid = (dist <= max_dist) & ~seen_earlier & in_bucket
 
-            new_blk = jnp.where(k == 1, jnp.zeros_like(blk), blk)
-            if not superchunk:
-                return (new_blk, tot, tmin, tmax)
+            hitf = valid.astype(jnp.float32)          # (chunk, qb)
+            rank = site_sub.astype(jnp.float32)
+            cf = jnp.float32(c * chunk)
+            cnt8 = jnp.sum(hitf.reshape(chunk // 8, 8, qb), axis=0)
+            pos8 = jnp.sum((hitf * (rank + cf))
+                           .reshape(chunk // 8, 8, qb), axis=0)
+            min8 = jnp.min(jnp.where(valid, rank, big)
+                           .reshape(chunk // 8, 8, qb), axis=0)
+            max8 = jnp.max(jnp.where(valid, rank, -1.0)
+                           .reshape(chunk // 8, 8, qb), axis=0)
+            cnt1 = jnp.sum(cnt8, axis=0, keepdims=True)       # (1, qb)
+            pos1 = jnp.sum(pos8, axis=0, keepdims=True)
+            min1 = jnp.min(min8, axis=0, keepdims=True)
+            max1 = jnp.max(max8, axis=0, keepdims=True)
+            rmin1 = jnp.where(min1 < big, min1 + cf, big)
+            rmax1 = jnp.where(max1 >= 0.0, max1 + cf, -1.0)
+            return _moment_tail(mom_ref, carry, c, nch, cnt1, pos1,
+                                rmin1, rmax1, qb=qb, nblk=nblk, nsb=nsb,
+                                superchunk=superchunk)
 
-            # superchunk moments: the middle tree level. Accumulate the
-            # chunk's (cnt, global-rank-sum, min, max) quad into the
-            # running superchunk registers; at a superchunk boundary fold
-            # them into the 2-superchunk block register and store the
-            # block when full (rows [8*nblk, 8*(nblk+nsb)), after the
-            # chunk blocks, before the totals)
-            scc = scc + cnt1
-            scp = scp + pos1
-            scmin = jnp.minimum(scmin, rmin1)
-            scmax = jnp.maximum(scmax, rmax1)
-            j = c // superchunk
-            ksc = j % 2
-            at_end = ((c + 1) % superchunk == 0) | (c == nch - 1)
-            folded = put4(scblk, 4 * ksc, scc, scp, scmin, scmax)
-            scblk = jnp.where(at_end, folded, scblk)
-            store_sc = at_end & ((ksc == 1) | (c == nch - 1))
-
-            @pl.when(store_sc)
-            def _():
-                mom_ref[0, 0, pl.ds(8 * (nblk + j // 2), 8), :] = scblk
-
-            scc = jnp.where(at_end, jnp.zeros_like(scc), scc)
-            scp = jnp.where(at_end, jnp.zeros_like(scp), scp)
-            scmin = jnp.where(at_end, jnp.full_like(scmin, big), scmin)
-            scmax = jnp.where(at_end, jnp.full_like(scmax, -1.0), scmax)
-            scblk = jnp.where(store_sc, jnp.zeros_like(scblk), scblk)
-            return (new_blk, tot, tmin, tmax, scblk, scc, scp, scmin, scmax)
-
-        init = (jnp.zeros((8, qb), jnp.float32),
-                jnp.zeros((8, qb), jnp.float32),
-                jnp.full((1, qb), big, jnp.float32),
-                jnp.full((1, qb), -1.0, jnp.float32))
-        if superchunk:
-            init = init + (jnp.zeros((8, qb), jnp.float32),
-                           jnp.zeros((1, qb), jnp.float32),
-                           jnp.zeros((1, qb), jnp.float32),
-                           jnp.full((1, qb), big, jnp.float32),
-                           jnp.full((1, qb), -1.0, jnp.float32))
-        jax.lax.fori_loop(0, nch, body, init)
+        jax.lax.fori_loop(0, nch, body, _moment_init(qb, superchunk))
 
 
 class CompactIsslScorer:
@@ -346,6 +461,7 @@ class CompactIsslScorer:
                  superchunk: int | None = None,
                  rescan_block: int | None = None,
                  auto_caps: bool | None = None,
+                 onehot: bool | None = None,
                  interpret: bool | None = None):
         if index.slice_width != 8 or index.seq_length != 20:
             raise ValueError("compact engine supports l=20, w=8")
@@ -414,6 +530,32 @@ class CompactIsslScorer:
         self.entries = jax.device_put(planes)
         self.bucket_offsets = jax.device_put(arrs["bucket_offsets"])
         self.bucket_lens = jax.device_put(arrs["bucket_lens"])
+        # one-hot finder planes (S, Epad, 128) int8: an alternate finder
+        # input layout (streamed planes instead of the VPU unpack).
+        # Throughput-NEUTRAL at the 64K-page bench point (see the
+        # _finder_kernel_onehot docstring), so default OFF; opt in per
+        # scorer or via CRACKLING_TPU_COMPACT_ONEHOT=1 for small-page /
+        # latency-sensitive workloads. 128 B/site/slice of extra HBM,
+        # gated on CRACKLING_TPU_COMPACT_PLANE_BUDGET; the decode
+        # always gathers the packed planes either way.
+        plane_bytes = self.S * epad * 128
+        budget = int(os.environ.get("CRACKLING_TPU_COMPACT_PLANE_BUDGET",
+                                    4 << 30))
+        if onehot is None:
+            onehot = (os.environ.get("CRACKLING_TPU_COMPACT_ONEHOT") == "1"
+                      and plane_bytes <= budget)
+        self.onehot = bool(onehot)
+        if self.onehot:
+            from .issl_mxu import _onehot_rows
+
+            unpack = jax.jit(functools.partial(
+                _onehot_rows, seq_length=index.seq_length))
+            self.planes = jnp.stack([
+                unpack(jnp.asarray(arrs["list_lo"][s].view(np.uint32)),
+                       jnp.asarray(arrs["list_hi"][s].view(np.uint32)))
+                for s in range(self.S)])
+        else:
+            self.planes = None
         self._runs: dict[int, callable] = {}
         # per-page compaction populations (n_single, n_mslot, n_scell,
         # n_sresc, n_mcell, n_rescan) recorded by every score_sums drain
@@ -440,7 +582,8 @@ class CompactIsslScorer:
             qb=qb, max_dist=self.max_dist,
             rows_per_slice=self._rows_per_slice,
             caps=self._caps(), superchunk=self.superchunk,
-            rescan_block=self.rescan_block, interpret=self.interpret))
+            rescan_block=self.rescan_block, onehot=self.onehot,
+            interpret=self.interpret))
         self._runs[key] = fn
         return fn
 
@@ -458,9 +601,11 @@ class CompactIsslScorer:
             return
         lo, hi = sig_split(page)
         fn = self._get_run(qb)
+        extra = (self.planes,) if self.onehot else ()
         out = fn(jnp.asarray(lo.view(np.uint32)),
                  jnp.asarray(hi.view(np.uint32)),
-                 self.bucket_offsets, self.bucket_lens, self.entries)
+                 self.bucket_offsets, self.bucket_lens, self.entries,
+                 *extra)
         # record the caps the program RAN with: self._caps() can grow
         # mid-drain when an earlier page overflows, and a later page
         # that ran under the old smaller caps must still be checked
@@ -533,10 +678,14 @@ class CompactIsslScorer:
 def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
               max_dist: int, rows_per_slice: int,
               caps: tuple, superchunk: int = 0, rescan_block: int = 8192,
-              interpret: bool = False):
+              onehot: bool = False, interpret: bool = False):
     """The compact engine's full device program for one query page:
     ``run(q_lo, q_hi, boff, blens, entries) -> (header, mit_sums,
-    cfd_sums)``. Module-level so the multi-device path
+    cfd_sums)`` — with ``onehot=True`` the signature gains a trailing
+    ``planes`` argument (the (S, Epad, 128) int8 one-hot planes) and
+    the finder streams those instead of unpacking the packed entries
+    (:func:`_finder_kernel_onehot`; the decode still gathers the packed
+    planes). Module-level so the multi-device path
     (parallel/sharded.ShardedCompactIsslScorer) can run the identical
     program per shard inside ``shard_map`` — returned UN-jitted."""
     import jax
@@ -554,11 +703,19 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
     else:
         nsb = nscd = 0
 
-    call = pl.pallas_call(
-        functools.partial(
+    if onehot:
+        kernel = functools.partial(
+            _finder_kernel_onehot, chunk=chunk, qb=qb, nchmax=nchmax,
+            max_dist=max_dist, superchunk=superchunk)
+        finder_buf = pltpu.VMEM((2, chunk, LANES), jnp.int8)
+    else:
+        kernel = functools.partial(
             _finder_kernel, chunk=chunk, qb=qb, nchmax=nchmax,
             max_dist=max_dist, rows_per_slice=rows_per_slice,
-            superchunk=superchunk),
+            superchunk=superchunk)
+        finder_buf = pltpu.VMEM((2, 3, chunk // LANES, LANES), jnp.uint32)
+    call = pl.pallas_call(
+        kernel,
         out_shape=jax.ShapeDtypeStruct((S, B, 8 * (nblk + nsb + 1), qb),
                                        jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -572,7 +729,7 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
             out_specs=pl.BlockSpec((1, 1, 8 * (nblk + nsb + 1), qb),
                                    lambda s, v, *_: (s, v, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, 3, chunk // LANES, LANES), jnp.uint32),
+                finder_buf,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -949,11 +1106,19 @@ def build_run(*, S: int, B: int, nchmax: int, chunk: int, qb: int,
                             jnp.int32(0), jnp.int32(0)])
         return header, mit_sums[:n], cfd_sums[:n]
 
-    def run(q_lo, q_hi, boff, blens, entries):
-        qsp = plan_on_device(q_lo, q_hi)
-        wts = prelude(q_lo, q_hi, qsp)
-        kout = call(boff, blens, wts, entries)
-        return decode_score(q_lo, q_hi, qsp.reshape(-1), kout,
-                            boff, blens, entries)
+    if onehot:
+        def run(q_lo, q_hi, boff, blens, entries, planes):
+            qsp = plan_on_device(q_lo, q_hi)
+            wts = prelude(q_lo, q_hi, qsp)
+            kout = call(boff, blens, wts, planes)
+            return decode_score(q_lo, q_hi, qsp.reshape(-1), kout,
+                                boff, blens, entries)
+    else:
+        def run(q_lo, q_hi, boff, blens, entries):
+            qsp = plan_on_device(q_lo, q_hi)
+            wts = prelude(q_lo, q_hi, qsp)
+            kout = call(boff, blens, wts, entries)
+            return decode_score(q_lo, q_hi, qsp.reshape(-1), kout,
+                                boff, blens, entries)
 
     return run

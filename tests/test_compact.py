@@ -246,3 +246,33 @@ def test_quant_cap_grain():
     for pop in (1, 4096, 10000, 99999):
         cap = _quant_cap(pop)
         assert cap % 4096 == 0 and cap > 1.25 * pop
+
+
+def test_onehot_finder_vs_bruteforce(data):
+    """The one-hot-plane finder kernel must produce the same sums as the
+    packed-unpack finder (they share the moment tail; only the mask
+    source differs) and match brute force."""
+    index, queries = data
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+    sc = CompactIsslScorer(index, max_dist=4, query_page=64, chunk=1024,
+                           onehot=True, interpret=True)
+    assert sc.onehot and sc.planes is not None
+    assert sc.planes.dtype.name == "int8"
+    mit, cfd = sc.score_sums(queries)
+    np.testing.assert_allclose(mit, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
+
+
+def test_onehot_finder_superchunk(deep_data):
+    """One-hot finder through the superchunk tree (deep bucket)."""
+    index, queries = deep_data
+    mit_b, cfd_b = score_bruteforce(queries, index.site_sigs,
+                                    index.occurrences, 4)
+    sc = CompactIsslScorer(index, max_dist=4, query_page=32, chunk=1024,
+                           superchunk=2, onehot=True, interpret=True)
+    mit, cfd = sc.score_sums(queries)
+    np.testing.assert_allclose(mit, mit_b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cfd, cfd_b, rtol=1e-5, atol=1e-5)
+    pops = np.array(sc.page_stats).max(axis=0)
+    assert pops[1] > 0 and pops[4] > 0   # tree stages really fired
